@@ -1,0 +1,106 @@
+"""Dual-sink metric logger: TensorBoard event files + result.json.
+
+Keeps the reference contract (reference: tb_json_logger.py):
+
+* every scalar is mirrored into an in-memory ``{it: {name: val}}`` dict;
+* ``configure(logdir, json_fn)`` optionally resumes (appends to) an existing
+  result.json;
+* steps must be logged monotonically;
+* ``export_to_json`` writes the HPO-consumable ordered list of dicts.
+
+TensorBoard writing is best-effort: if no writer backend is available the
+JSON sink still works (the reference hard-depends on tensorboard_logger).
+"""
+
+import json
+import os
+import warnings
+
+
+class MetricLogger:
+    def __init__(self, logdir, json_fn=None, flush_secs=2):
+        self.logdir = logdir
+        self._log_dic = {}
+        self._tb = None
+        if logdir:
+            os.makedirs(logdir, exist_ok=True)
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(logdir, flush_secs=flush_secs)
+            except Exception:  # tensorboard backend optional
+                self._tb = None
+        if json_fn and os.path.exists(json_fn):
+            try:
+                with open(json_fn) as fh:
+                    self._log_dic.update({e["it"]: e for e in json.load(fh)})
+            except json.JSONDecodeError as e:
+                warnings.warn(f"Couldnt decode {json_fn}: {e}")
+
+    def log_value(self, name, value, step=None):
+        assert not self._log_dic or step >= max(self._log_dic.keys()), (
+            f"logging into the past: {step} < {max(self._log_dic.keys())}")
+        if self._tb is not None:
+            self._tb.add_scalar(name, float(value), global_step=step)
+        self._log_dic.setdefault(step, {"it": step})
+        self._log_dic[step][name] = float(value)
+
+    def get_logged_values(self, step):
+        return self._log_dic[step]
+
+    def get_last_logged_values(self):
+        if not self._log_dic:
+            return {}
+        return self.get_logged_values(max(self._log_dic.keys()))
+
+    def export_to_json(self, json_fn, it_filter=lambda k, v: True,
+                       trunc_tail=None, write_empty=False):
+        if trunc_tail and self._log_dic:
+            last_it = max(self._log_dic.keys())
+            tail_ok = lambda it: it >= last_it - trunc_tail  # noqa: E731
+        else:
+            tail_ok = lambda it: True  # noqa: E731
+        for_export = [self._log_dic[it] for it in sorted(self._log_dic)
+                      if it_filter(it, self._log_dic[it]) and tail_ok(it)]
+        if for_export or write_empty:
+            with open(json_fn, "w") as fh:
+                json.dump(for_export, fh, indent=1)
+
+    def flush(self):
+        if self._tb is not None:
+            self._tb.flush()
+
+
+# module-level default, mirroring the reference's global API
+_default_logger = None
+
+
+def configure(logdir, json_fn=None, flush_secs=2):
+    global _default_logger
+    if _default_logger is not None:
+        raise ValueError("default logger already configured")
+    _default_logger = MetricLogger(logdir, json_fn, flush_secs)
+    return _default_logger
+
+
+def reset():
+    """Drop the default logger (used by tests / multi-run processes)."""
+    global _default_logger
+    _default_logger = None
+
+
+def _get():
+    if _default_logger is None:
+        raise ValueError("default logger is not configured; call configure()")
+    return _default_logger
+
+
+def log_value(name, value, step=None):
+    _get().log_value(name, value, step)
+
+
+def get_last_logged_values():
+    return _get().get_last_logged_values()
+
+
+def export_to_json(json_fn, **kw):
+    _get().export_to_json(json_fn, **kw)
