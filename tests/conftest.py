@@ -2,16 +2,20 @@
 
 Multi-device sharding is validated without TPU hardware the standard way:
 XLA_FLAGS=--xla_force_host_platform_device_count=8 on the CPU backend.
-Must be set before jax initializes, hence here at conftest import time.
+The env in this image pre-registers an 'axon' TPU platform at interpreter
+start, so selecting CPU must go through jax.config (env vars are too late).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
