@@ -1,0 +1,200 @@
+"""Composite sequence autoencoder (reference: models/model.py RNN_VAE).
+
+Owns the shared word embedding, GRU encoder, GRU decoder, CNN classifier and
+(optionally) a flow prior. All state lives in one params pytree; every method
+is a pure function of (params, rng, inputs) so the whole forward fits in a
+single jitted XLA program.
+
+Hyperparameters are plain Python attributes captured at trace time — the
+model object itself is static configuration, never traced.
+"""
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..data.vocab import START_IDX
+from ..ops import nn
+from . import encoder as enc
+from . import decoder as dec
+from . import classifier as clf
+from . import flow as flow_mod
+
+
+@dataclass(frozen=True, eq=False)  # identity hash: usable as a jit static arg
+class RNNVAE:
+    n_vocab: int
+    max_seq_len: int = 25
+    z_dim: int = 100
+    c_dim: int = 2
+    emb_dim: int = 150
+    freeze_embeddings: bool = False
+    flow: int = 0
+    flow_type: str = ""
+    E_args: dict = field(default_factory=dict)
+    G_args: dict = field(default_factory=dict)
+    C_args: dict = field(default_factory=dict)
+
+    @property
+    def h_dec(self):
+        return self.z_dim + self.c_dim
+
+    @property
+    def gru_args(self):
+        return dict(self.G_args.get("GRU_args", {}))
+
+    # ------------------------------------------------------------------
+    # params
+    # ------------------------------------------------------------------
+
+    def init_params(self, key):
+        ke, kenc, kdec, kclf, kflow = jax.random.split(key, 5)
+        g_args = self.gru_args
+        params = {
+            "emb": nn.init_embedding(ke, self.n_vocab, self.emb_dim),
+            "enc": enc.init(kenc, emb_dim=self.emb_dim, z_dim=self.z_dim,
+                            **{k: v for k, v in self.E_args.items()}),
+            "dec": dec.init(
+                kdec,
+                emb_dim=self.emb_dim + self.z_dim + self.c_dim,
+                output_dim=self.n_vocab,
+                h_dim=self.h_dec,
+                p_word_dropout=g_args.get("p_word_dropout", 0.3),
+                p_out_dropout=g_args.get("p_out_dropout", 0.3),
+                skip_connections=g_args.get("skip_connections", False)),
+            "clf": clf.init(kclf, self.emb_dim, **self.C_args),
+        }
+        if self.flow > 0:
+            params["flow"] = flow_mod.init(kflow, self.flow_type, self.flow,
+                                           self.z_dim)
+        return params
+
+    def vae_param_labels(self, params):
+        """'vae' for emb/enc/dec(/flow), 'other' for the classifier —
+        the reference's vae_params() optimizer group (model.py:88-94)."""
+        return {k: ("vae" if k in ("emb", "enc", "dec", "flow") else "other")
+                for k in params}
+
+    # ------------------------------------------------------------------
+    # encoder / latent
+    # ------------------------------------------------------------------
+
+    def encode(self, params, inputs):
+        """inputs: [B, T] int tokens or [B, T, V] soft one-hots."""
+        if inputs.ndim == 2:
+            emb = nn.embed(params["emb"], inputs)
+        else:
+            emb = nn.soft_embed(params["emb"], inputs)
+        return enc.apply(params["enc"], emb,
+                         h_dim=self.E_args.get("h_dim", 80),
+                         biGRU=self.E_args.get("biGRU", True))
+
+    def sample_z(self, key, mu, logvar):
+        eps = jax.random.normal(key, mu.shape, mu.dtype)
+        return mu + jnp.exp(logvar / 2.0) * eps
+
+    def sample_z_prior(self, key, mbsize):
+        return jax.random.normal(key, (mbsize, self.z_dim))
+
+    def sample_c_prior(self, key, mbsize):
+        """c ~ Cat([0.5, 0.5]) as one-hot rows (model.py:121-126)."""
+        ix = jax.random.bernoulli(key, 0.5, (mbsize,)).astype(jnp.int32)
+        return nn.onehot(ix, self.c_dim)
+
+    def apply_flow(self, params, z):
+        """z -> (z_K, sum log|det J|). Identity when flow == 0."""
+        if self.flow == 0:
+            return z, jnp.zeros(z.shape[0], z.dtype)
+        return flow_mod.apply(params["flow"], self.flow_type, z)
+
+    # ------------------------------------------------------------------
+    # decoder / classifier
+    # ------------------------------------------------------------------
+
+    def decode_train(self, params, key, tokens, z, c, train=True):
+        g_args = self.gru_args
+        return dec.apply_teacher_forced(
+            params["dec"], params["emb"], tokens, z, c, key, train,
+            p_word_dropout=g_args.get("p_word_dropout", 0.3),
+            p_out_dropout=g_args.get("p_out_dropout", 0.3),
+            skip_connections=g_args.get("skip_connections", False))
+
+    def decode_step(self, params, token_hard, token_soft, z, c, h,
+                    key=None, train=False):
+        g_args = self.gru_args
+        return dec.apply_step(
+            params["dec"], params["emb"], token_hard, token_soft, z, c, h,
+            key=key, train=train,
+            p_out_dropout=g_args.get("p_out_dropout", 0.3),
+            skip_connections=g_args.get("skip_connections", False))
+
+    def init_decoder_hidden(self, z, c):
+        return dec.init_hidden(z, c)
+
+    def classify(self, params, inputs, key=None, train=False):
+        if inputs.ndim == 2:
+            emb = nn.embed(params["emb"], inputs)
+        else:
+            emb = nn.soft_embed(params["emb"], inputs)
+        return clf.apply(params["clf"], emb, key=key, train=train,
+                         **{k: v for k, v in self.C_args.items()
+                            if k != "num_filters"})
+
+    # ------------------------------------------------------------------
+    # full forward (teacher-forced), reference model.py:146-195
+    # ------------------------------------------------------------------
+
+    def forward(self, params, key, sequences, q_c="prior", sample_z=1,
+                labels=None, train=True):
+        """Returns ((mu, logvar), (z, c), dec_logits)."""
+        kz, kc, kd = jax.random.split(key, 3)
+        mbsize = sequences.shape[0]
+        mu, logvar = self.encode(params, sequences)
+        if sample_z == "max":
+            z = mu
+        else:
+            assert sample_z == 1
+            z = self.sample_z(kz, mu, logvar)
+
+        if self.flow > 0 and train:
+            raise ValueError(
+                "flow prior during training needs the flow-KL loss term; "
+                "use apply_flow() explicitly (matches reference "
+                "model.py:173-177 which also raises here)")
+
+        if labels is not None:
+            c = nn.onehot(labels.astype(jnp.int32), self.c_dim)
+        elif q_c == "prior":
+            c = self.sample_c_prior(kc, mbsize)
+        elif q_c == "classifier":
+            c = jax.nn.softmax(self.classify(params, sequences), axis=1)
+        else:
+            raise ValueError("q_c is not labels, prior, or classifier")
+
+        dec_logits = self.decode_train(params, kd, sequences, z, c,
+                                       train=train)
+        return (mu, logvar), (z, c), dec_logits
+
+    # starting token row for free-running generation
+    def start_tokens(self, mbsize):
+        return jnp.full((mbsize,), START_IDX, jnp.int32)
+
+
+def build_model(cfg_model, n_vocab, max_seq_len) -> RNNVAE:
+    """Construct from the cfg.model Bunch (config.py)."""
+    return RNNVAE(
+        n_vocab=n_vocab,
+        max_seq_len=max_seq_len,
+        z_dim=cfg_model.z_dim,
+        c_dim=cfg_model.c_dim,
+        emb_dim=cfg_model.emb_dim,
+        freeze_embeddings=cfg_model.freeze_embeddings,
+        flow=cfg_model.flow,
+        flow_type=cfg_model.flow_type,
+        E_args=dict(cfg_model.E_args),
+        G_args={k: (dict(v) if isinstance(v, dict) else v)
+                for k, v in cfg_model.G_args.items()},
+        C_args=dict(cfg_model.C_args),
+    )

@@ -1,0 +1,197 @@
+"""Fully batched on-device beam search.
+
+Replaces the reference's per-sentence Python Beam objects (models/Beam.py +
+the batch driver in models/model.py:258-404) with one lax.scan that advances
+all (batch, beam) lanes simultaneously: scores and backpointers are fixed-
+shape arrays, decoder hidden states are reordered with gathers, and finished
+hypotheses land in a fixed-capacity masked heap. The backtrace runs on device
+too, vmapped over (batch, n_best).
+
+Semantics matched to the reference:
+
+* log-softmax scores accumulated additively; START always blocked and EOS
+  blocked below min_length at -1e20 (Beam.py:63-71);
+* rows whose last token is EOS get their children blocked at -1e20
+  (Beam.py:76-80);
+* the first advance draws only from beam 0's distribution (Beam.py:82);
+* a hypothesis is finished when its token is EOS; it records
+  (score, timestep, beam) in insertion order (Beam.py:97-101);
+* a sentence is done when EOS tops the beam AND >= n_best finished
+  (Beam.py:107-108); done sentences stop advancing;
+* finalization pads with current beams until n_best, then stable-sorts by
+  score descending (Beam.py:110-122), and hypotheses are reconstructed by
+  walking backpointers, including the initial BOS row (Beam.py:124-131).
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..data.vocab import PAD_IDX, START_IDX, EOS_IDX
+
+NEG = -1e20
+
+
+class BeamState(NamedTuple):
+    scores: jnp.ndarray    # [B, K] accumulated log-probs
+    prev: jnp.ndarray      # [B, K] last token per beam
+    h: jnp.ndarray         # [B, K, H] decoder hidden
+    adv: jnp.ndarray       # [B] number of advances performed
+    eos_top: jnp.ndarray   # [B] EOS has topped the beam
+    fin_cnt: jnp.ndarray   # [B] finished-hypothesis count
+    fin_score: jnp.ndarray  # [B, F]
+    fin_t: jnp.ndarray     # [B, F] timestep of finish
+    fin_k: jnp.ndarray     # [B, F] beam index at finish
+
+
+def _advance_one(logp, scores, prev, adv, fin_cnt, fin_score, fin_t, fin_k,
+                 eos_top, *, K, V, F, min_length):
+    """Single-sentence beam advance; vmapped over the batch."""
+    cur_len = adv + 1
+    wp = logp.at[:, START_IDX].set(NEG)
+    wp = jnp.where(cur_len < min_length, wp.at[:, EOS_IDX].set(NEG), wp)
+
+    # candidate matrix: first advance draws from beam 0 only
+    later = wp + scores[:, None]
+    later = jnp.where((prev == EOS_IDX)[:, None], NEG, later)
+    k_ix = jnp.arange(K)
+    first = jnp.where((k_ix == 0)[:, None], wp, -jnp.inf)
+    bs = jnp.where(adv == 0, first, later)
+
+    best, ids = jax.lax.top_k(bs.reshape(K * V), K)
+    prev_k = (ids // V).astype(jnp.int32)
+    next_y = (ids % V).astype(jnp.int32)
+
+    # record newly finished hypotheses in insertion (beam) order
+    mask = next_y == EOS_IDX
+    pos = jnp.where(mask, fin_cnt + jnp.cumsum(mask) - 1, F)
+    fin_score = fin_score.at[pos].set(best, mode="drop")
+    fin_t = fin_t.at[pos].set(adv + 1, mode="drop")
+    fin_k = fin_k.at[pos].set(k_ix, mode="drop")
+    fin_cnt = fin_cnt + mask.sum()
+    eos_top = eos_top | (next_y[0] == EOS_IDX)
+
+    return best, next_y, prev_k, adv + 1, fin_cnt, fin_score, fin_t, fin_k, \
+        eos_top
+
+
+def _backtrace(t, k, ys, ptrs, T):
+    """Walk backpointers from (t, k); returns [T+1] tokens, PAD beyond t."""
+    hyp0 = jnp.full((T + 1,), PAD_IDX, jnp.int32)
+
+    def body(jj, carry):
+        k_cur, hyp = carry
+        j = T - 1 - jj
+        on = (j + 1) <= t
+        tok = jnp.where(on, ys[j + 1, k_cur], hyp[j + 1])
+        hyp = hyp.at[j + 1].set(tok)
+        k_cur = jnp.where(on, ptrs[j, k_cur], k_cur)
+        return k_cur, hyp
+
+    k_fin, hyp = jax.lax.fori_loop(0, T, body, (k, hyp0))
+    return hyp.at[0].set(ys[0, k_fin])
+
+
+def _finalize_one(ys, ptrs, scores, adv, fin_cnt, fin_score, fin_t, fin_k,
+                  *, K, F, n_best, T):
+    """sort_finished(minimum=n_best) + n_best backtraces for one sentence."""
+    # pad with current beams i = 0.. until n_best entries exist
+    i = jnp.arange(n_best)
+    n_add = jnp.maximum(n_best - fin_cnt, 0)
+    pos = jnp.where(i < n_add, fin_cnt + i, F)
+    fin_score = fin_score.at[pos].set(scores[jnp.minimum(i, K - 1)],
+                                      mode="drop")
+    fin_t = fin_t.at[pos].set(adv, mode="drop")
+    fin_k = fin_k.at[pos].set(i, mode="drop")
+    fin_cnt = fin_cnt + n_add
+
+    valid = jnp.arange(F) < fin_cnt
+    keyed = jnp.where(valid, fin_score, -jnp.inf)
+    order = jnp.argsort(-keyed, stable=True)[:n_best]
+    ts, ks, sc = fin_t[order], fin_k[order], keyed[order]
+    hyps = jax.vmap(lambda t, k: _backtrace(t, k, ys, ptrs, T))(ts, ks)
+    return hyps, sc
+
+
+@partial(jax.jit, static_argnames=("model", "beam_size", "n_best",
+                                   "min_length", "max_len"))
+def beam_search(model, params, z, c, beam_size=5, n_best=3, min_length=1,
+                max_len=None):
+    """z: [B, z_dim], c: [B, c_dim] ->
+    (hyps [B, n_best, T+1] int32, scores [B, n_best] f32).
+
+    hyps[:, :, 0] is the BOS row token; positions past each hypothesis end
+    are PAD. Top-1 decode is hyps[:, 0].
+    """
+    assert beam_size >= n_best, "Can't return more than max hypothesis"
+    B, K = z.shape[0], beam_size
+    V = model.n_vocab
+    T = max_len if max_len is not None else model.max_seq_len
+    F = K * T + n_best
+
+    z_flat = jnp.repeat(z, K, axis=0)          # [B*K] batch-major lanes
+    c_flat = jnp.repeat(c, K, axis=0)
+    h0 = model.init_decoder_hidden(z, c)       # [B, H]
+    H = h0.shape[1]
+    h0 = jnp.repeat(h0[:, None, :], K, axis=1)
+
+    prev0 = jnp.full((B, K), PAD_IDX, jnp.int32).at[:, 0].set(START_IDX)
+    state = BeamState(
+        scores=jnp.zeros((B, K)),
+        prev=prev0,
+        h=h0,
+        adv=jnp.zeros((B,), jnp.int32),
+        eos_top=jnp.zeros((B,), bool),
+        fin_cnt=jnp.zeros((B,), jnp.int32),
+        fin_score=jnp.zeros((B, F)),
+        fin_t=jnp.zeros((B, F), jnp.int32),
+        fin_k=jnp.zeros((B, F), jnp.int32),
+    )
+
+    advance = jax.vmap(partial(_advance_one, K=K, V=V, F=F,
+                               min_length=min_length))
+
+    def step(state, _):
+        logits, h_new = model.decode_step(
+            params, state.prev.reshape(B * K), None, z_flat, c_flat,
+            state.h.reshape(B * K, H))
+        logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
+        done = state.eos_top & (state.fin_cnt >= n_best)
+
+        (best, next_y, prev_k, adv, fin_cnt, fin_score, fin_t, fin_k,
+         eos_top) = advance(logp, state.scores, state.prev, state.adv,
+                            state.fin_cnt, state.fin_score, state.fin_t,
+                            state.fin_k, state.eos_top)
+
+        # reorder hidden along the beam axis by backpointer origin
+        h_new = h_new.reshape(B, K, H)
+        h_adv = jnp.take_along_axis(h_new, prev_k[:, :, None], axis=1)
+
+        d1, d2 = done[:, None], done[:, None, None]
+        new_state = BeamState(
+            scores=jnp.where(d1, state.scores, best),
+            prev=jnp.where(d1, state.prev, next_y),
+            h=jnp.where(d2, state.h, h_adv),
+            adv=jnp.where(done, state.adv, adv),
+            eos_top=jnp.where(done, state.eos_top, eos_top),
+            fin_cnt=jnp.where(done, state.fin_cnt, fin_cnt),
+            fin_score=jnp.where(d1, state.fin_score, fin_score),
+            fin_t=jnp.where(d1, state.fin_t, fin_t),
+            fin_k=jnp.where(d1, state.fin_k, fin_k),
+        )
+        ys_emit = jnp.where(d1, jnp.full_like(next_y, PAD_IDX), next_y)
+        ptr_emit = jnp.where(d1, jnp.zeros_like(prev_k), prev_k)
+        return new_state, (ys_emit, ptr_emit)
+
+    state, (ys_steps, ptr_steps) = jax.lax.scan(step, state, None, length=T)
+
+    ys = jnp.concatenate([prev0[None], ys_steps], axis=0)   # [T+1, B, K]
+    ys = jnp.swapaxes(ys, 0, 1)                              # [B, T+1, K]
+    ptrs = jnp.swapaxes(ptr_steps, 0, 1)                     # [B, T, K]
+
+    finalize = jax.vmap(partial(_finalize_one, K=K, F=F, n_best=n_best, T=T))
+    hyps, scores = finalize(ys, ptrs, state.scores, state.adv, state.fin_cnt,
+                            state.fin_score, state.fin_t, state.fin_k)
+    return hyps, scores

@@ -1,0 +1,103 @@
+"""Free-running generation: all sampling modes as one lax.scan.
+
+Reference: models/model.py sample_G (model.py:225-385), minus the beam branch
+which lives in ops/beam.py. The per-timestep Python loop becomes a scan whose
+step does: decoder single step -> mode-dispatched token selection ->
+EOS/finished masking. The mode is static (one compiled program per mode).
+
+Hard modes: 'categorical' (temperature), 'greedy'.
+Soft modes (differentiable feedback for phase-2 controlled-gen training):
+'none_softmax', 'greedy_softmax', 'categorical_softmax' — the decoder is fed
+the softmax distribution via soft embedding; the hard-token track is used
+only for EOS bookkeeping, and (as in the reference) 'none_softmax' never
+updates the hard track at all.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..data.vocab import PAD_IDX, START_IDX, EOS_IDX
+
+HARD_MODES = ("categorical", "greedy")
+SOFT_MODES = ("none_softmax", "greedy_softmax", "categorical_softmax")
+
+
+@partial(jax.jit, static_argnames=(
+    "model", "sample_mode", "prepend_start_idx", "prevent_empty"))
+def sample_sentences(model, params, key, z, c,
+                     sample_mode="categorical", temp=1.0,
+                     prepend_start_idx=True, prevent_empty=False):
+    """Generate [B, T(+1)] token ids (hard modes) or additionally
+    [B, T(+1), V] soft rows (soft modes).
+
+    z: [B, z_dim], c: [B, c_dim]. T = model.max_seq_len. When
+    prepend_start_idx, output column 0 is the START token (dataloader
+    format), giving width T+1.
+    """
+    soft = sample_mode in SOFT_MODES
+    assert sample_mode in HARD_MODES + SOFT_MODES, sample_mode
+    assert not (soft and prevent_empty), (
+        "cant prevent_empty when soft sampling")
+    B = z.shape[0]
+    V = model.n_vocab
+
+    tok0 = jnp.full((B,), START_IDX, jnp.int32)
+    soft0 = jax.nn.one_hot(tok0, V) if soft else None
+    h0 = model.init_decoder_hidden(z, c)
+    finished0 = jnp.zeros((B,), bool)
+
+    def step(carry, key_t_and_i):
+        key_t, i = key_t_and_i
+        tok, softix, h, finished = carry
+        logits, h = model.decode_step(params, tok, softix if soft else None,
+                                      z, c, h)
+        if prevent_empty:
+            # mask specials on the first step only (model.py:299-305)
+            large_neg = -2.0 * jnp.abs(jnp.min(logits))
+            masked = logits
+            for ix in (PAD_IDX, START_IDX, EOS_IDX):
+                masked = masked.at[:, ix].set(large_neg)
+            logits = jnp.where(i == 0, masked, logits)
+
+        new_tok = tok
+        new_soft = softix
+        if sample_mode == "categorical":
+            new_tok = jax.random.categorical(key_t, logits / temp, axis=1)
+        elif sample_mode == "greedy":
+            new_tok = jnp.argmax(logits, axis=1)
+        elif sample_mode == "none_softmax":
+            new_soft = jax.nn.softmax(logits / temp, axis=1)
+        elif sample_mode == "greedy_softmax":
+            new_tok = jnp.argmax(logits, axis=1)
+            new_soft = jax.nn.softmax(logits / temp, axis=1)
+        elif sample_mode == "categorical_softmax":
+            new_tok = jax.random.categorical(key_t, logits / temp, axis=1)
+            new_soft = jax.nn.softmax(logits / temp, axis=1)
+        new_tok = new_tok.astype(jnp.int32)
+
+        # finished bookkeeping (model.py:348-359): already-finished rows emit
+        # PAD; rows that just emitted EOS are finished from the next step on
+        new_tok = jnp.where(finished, PAD_IDX, new_tok)
+        finished = finished | (new_tok == EOS_IDX)
+        if soft:
+            # zero out the soft rows of finished sentences (embeds to 0)
+            new_soft = jnp.where(finished[:, None], 0.0, new_soft)
+        out = (new_tok, new_soft) if soft else (new_tok,)
+        return (new_tok, new_soft, h, finished), out
+
+    keys = jax.random.split(key, model.max_seq_len)
+    steps = jnp.arange(model.max_seq_len)
+    _, outs = jax.lax.scan(step, (tok0, soft0, h0, finished0), (keys, steps))
+
+    seq = jnp.swapaxes(outs[0], 0, 1)                     # [B, T]
+    if prepend_start_idx:
+        seq = jnp.concatenate([tok0[:, None], seq], axis=1)
+    if soft:
+        soft_seq = jnp.swapaxes(outs[1], 0, 1)            # [B, T, V]
+        if prepend_start_idx:
+            start_row = jax.nn.one_hot(tok0, V)[:, None, :]
+            soft_seq = jnp.concatenate([start_row, soft_seq], axis=1)
+        return seq, soft_seq
+    return seq
