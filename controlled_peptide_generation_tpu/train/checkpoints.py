@@ -1,0 +1,69 @@
+"""Checkpointing: params + optimizer state + RNG key + step in one file.
+
+Keeps the reference's filename/auto-resolution contract
+(``{savepath}/model_{iter}.npz``; reference mutils.py:11-14, cfg.py:109-117,
+api.py:296-301) while fixing its silent Adam-moment reset on resume — the
+reference saves only the model state_dict (SURVEY.md §5.4); here the full
+train state round-trips.
+
+Format: a single .npz whose keys are the pytree key-paths of the state dict.
+Loading is template-based: the caller provides a state pytree of the right
+structure (e.g. freshly initialized) and leaves are filled by key-path.
+Model-only loading (the api.py strict=False path) passes just the params
+subtree as the template.
+"""
+
+import os
+import re
+
+import jax
+import numpy as np
+
+
+def _flatten(state):
+    leaves = jax.tree_util.tree_flatten_with_path(state)[0]
+    return {jax.tree_util.keystr(kp): leaf for kp, leaf in leaves}
+
+
+def save(path, state):
+    """state: arbitrary pytree of arrays/scalars."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    flat = {k: np.asarray(v) for k, v in _flatten(state).items()}
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        np.savez(fh, **flat)
+    os.replace(tmp, path)
+
+
+def load(path, template, strict=True):
+    """Fill ``template``'s leaves from the file by key-path.
+
+    strict=False ignores missing keys (leaves keep template values) and
+    extra keys in the file — the reference's load_state_dict(strict=False).
+    """
+    data = np.load(path)
+    avail = set(data.files)
+
+    def fill(kp, leaf):
+        key = jax.tree_util.keystr(kp)
+        if key in avail:
+            arr = data[key]
+            return arr if np.ndim(arr) else arr[()]
+        if strict:
+            raise KeyError(f"checkpoint {path} missing {key}")
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fill, template)
+
+
+def latest_step(savepath, pattern=r"model_(\d+)\.npz$"):
+    """Highest iteration with a saved checkpoint, or None
+    (the api.py:296-301 fallback)."""
+    if not os.path.isdir(savepath):
+        return None
+    steps = []
+    for name in os.listdir(savepath):
+        m = re.search(pattern, name)
+        if m:
+            steps.append(int(m.group(1)))
+    return max(steps) if steps else None

@@ -1,0 +1,161 @@
+"""Phase-1 WAE/VAE training: one jitted XLA program per step.
+
+Reference loop: train_vae.py:13-68 — Adam over the autoencoder params,
+linearly annealed beta, loss = recon + beta*z_regu + lambda1*|logvar|_1 +
+lambda2*KL_sharedmu, global-norm grad clip 5.0; kl/mmd/mmdrf all computed
+every step (the reference logs all three regardless of which regularizes).
+
+TPU-first structure: forward + all losses + grads + clip + adam fuse into a
+single donated jit; the host touches device data only at log boundaries.
+The weighted-multinomial batch sampling stays on host (numpy), overlapping
+with device compute through jax's async dispatch.
+"""
+
+import logging
+import sys
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..ops import losses as L
+from ..utils.annealing import anneal
+from ..utils import logging as tblog
+from ..generation import generate_sentences
+from . import checkpoints
+
+log = logging.getLogger(__name__)
+
+
+def make_optimizer(cfgv):
+    return optax.chain(
+        optax.clip_by_global_norm(cfgv.clip_grad),
+        optax.adam(cfgv.lr),
+    )
+
+
+def make_train_step(model, cfgv, cfg_losses, rf_basis, donate=True):
+    """Build the jitted train step.
+
+    rf_basis: (rf_w, rf_b) fixed random-feature basis, or None to resample
+    from the per-step key (cfg.losses.wae_mmd.rf_resample).
+    """
+    optimizer = make_optimizer(cfgv)
+    mmd_cfg = cfg_losses.wae_mmd
+    beta_sched = cfgv.beta
+    z_regu_name = cfgv.z_regu_loss
+
+    def loss_fn(params, key, text, beta):
+        k_fwd, k_mmd, k_rf, k_basis = jax.random.split(key, 4)
+        (mu, logvar), (z, c), dec_logits = model.forward(
+            params, k_fwd, text, q_c="prior", sample_z=1, train=True)
+        recon = L.recon_dec(text, dec_logits)
+        kl = L.kl_gaussianprior(mu, logvar)
+        mmd = L.wae_mmd_gaussianprior_full(k_mmd, z, mmd_cfg.sigma,
+                                           mmd_cfg.kernel)
+        if rf_basis is None:
+            rf_w, rf_b = L.init_rf_basis(k_basis, model.z_dim,
+                                         mmd_cfg.rf_dim)
+        else:
+            rf_w, rf_b = rf_basis
+        mmdrf = L.wae_mmd_gaussianprior_rf(k_rf, z, rf_w, rf_b,
+                                           mmd_cfg.sigma)
+        z_regu = {"kl": kl, "mmd": mmd, "mmdrf": mmdrf}[z_regu_name]
+        z_logvar_L1 = jnp.mean(jnp.sum(jnp.abs(logvar), axis=1))
+        z_logvar_KL_penalty = L.kl_gaussian_sharedmu(mu, logvar)
+        loss = (recon + beta * z_regu
+                + cfgv.lambda_logvar_L1 * z_logvar_L1
+                + cfgv.lambda_logvar_KL * z_logvar_KL_penalty)
+        metrics = {
+            "z_mu_L1": jnp.mean(jnp.abs(mu)),
+            "z_logvar": jnp.mean(logvar),
+            "z_logvar_L1": z_logvar_L1,
+            "z_logvar_KL_penalty": z_logvar_KL_penalty,
+            "L_vae": loss,
+            "L_vae_recon": recon,
+            "L_vae_kl": kl,
+            "L_wae_mmd": mmd,
+            "L_wae_mmdrf": mmdrf,
+        }
+        return loss, metrics
+
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
+    def train_step(params, opt_state, key, text, it):
+        beta = anneal(beta_sched, it.astype(jnp.float32))
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            params, key, text, beta)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["beta"] = beta
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return train_step, optimizer
+
+
+def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
+    """Run the phase-1 loop. Returns (params, opt_state, steps_per_sec)."""
+    cfgv = cfg.vae
+    key = jax.random.PRNGKey(cfg.seed)
+    k_rf, k_steps = jax.random.split(key)
+
+    rf_basis = None
+    if not cfg.losses.wae_mmd.rf_resample:
+        rf_basis = L.init_rf_basis(k_rf, model.z_dim,
+                                   cfg.losses.wae_mmd.rf_dim)
+
+    train_step, optimizer = make_train_step(
+        model, cfgv, cfg.losses, rf_basis, donate=cfg.hw.donate_state)
+    opt_state = optimizer.init(params)
+
+    # resume full train state (incl. Adam moments) when a checkpoint exists
+    if cfg.loadpath:
+        state_tpl = {"params": params, "opt": opt_state}
+        state = checkpoints.load(cfg.loadpath, state_tpl, strict=False)
+        params, opt_state = state["params"], state["opt"]
+        log.info("Loaded train state from %s", cfg.loadpath)
+
+    logger = logger or tblog._default_logger
+    t_start, it_start = time.time(), cfgv.s_iter
+    log.info("Training base vae ...")
+    for it in range(cfgv.s_iter, cfgv.s_iter + cfgv.n_iter + 1):
+        batch = dataset.next_batch("train_vae")
+        params, opt_state, metrics = train_step(
+            params, opt_state, jax.random.fold_in(k_steps, it),
+            jnp.asarray(batch.text), jnp.asarray(it, jnp.int32))
+
+        cheap = it % cfgv.cheaplog_every == 0
+        expsv = it % cfgv.expsvlog_every == 0
+        if cheap or expsv:
+            vals = {k: float(v) for k, v in metrics.items()}
+            if logger is not None:
+                for k in ("z_mu_L1", "z_logvar", "z_logvar_L1",
+                          "z_logvar_KL_penalty", "L_vae", "L_vae_recon",
+                          "L_vae_kl", "L_wae_mmd", "L_wae_mmdrf", "beta"):
+                    logger.log_value("train_" + k, vals[k], it)
+            log.info(
+                "ITER %d TRAINING (phase 1). loss_vae: %.4f; loss_recon: "
+                "%.4f; loss_kl: %.4f; loss_mmd: %.4f; Grad_norm: %.4e",
+                it, vals["L_vae"], vals["L_vae_recon"], vals["L_vae_kl"],
+                vals["L_wae_mmd"], vals["grad_norm"])
+            sent, _, _ = generate_sentences(
+                model, params, jax.random.fold_in(k_steps, 2**31 + it), 1,
+                sample_mode="categorical")
+            log.info('Sample (cat T=1.0): "%s"',
+                     dataset.idx2sentence(np.asarray(sent)[0]))
+            sys.stdout.flush()
+        if expsv and it > cfgv.s_iter:
+            state = {"params": params, "opt": opt_state,
+                     "step": jnp.asarray(it)}
+            checkpoints.save(cfgv.chkpt_path.format(it), state)
+            log.info("Saved model to %s", cfgv.chkpt_path.format(it))
+            if on_checkpoint is not None:
+                on_checkpoint(it, params)
+
+    jax.block_until_ready(params)
+    steps_per_sec = (cfgv.n_iter + 1 - (it_start - cfgv.s_iter)) / max(
+        time.time() - t_start, 1e-9)
+    return params, opt_state, steps_per_sec
