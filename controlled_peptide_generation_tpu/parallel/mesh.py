@@ -1,0 +1,128 @@
+"""Multi-device execution: data-parallel training + sharded CLaSS fan-out.
+
+The reference is strictly single-device (SURVEY.md §2.28: one cuda:0-or-cpu
+torch.device, no distributed backend of any kind); scale-out here is the
+TPU-idiomatic replacement: a jax.sharding.Mesh over the batch axis, jit with
+NamedSharding constraints, and XLA inserting the gradient psum over ICI.
+Multi-host extends the same code via jax.distributed.initialize — no custom
+communication backend exists or is needed.
+
+Model size (~0.5M params) makes tensor/pipeline parallelism counter-
+productive; DP for training and embarrassingly-parallel sharding for CLaSS
+rejection rounds are the two meaningful axes (documented non-goals per
+SURVEY.md §2.28).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import losses as L
+from ..utils.annealing import anneal
+
+
+def get_mesh(n_devices=None, axis="data", devices=None):
+    devices = devices if devices is not None else jax.devices()
+    n = n_devices or len(devices)
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    return Mesh(np.array(devices[:n]), (axis,))
+
+
+def replicate(mesh, tree):
+    """Place a pytree fully replicated on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(mesh, batch, axis="data"):
+    """Shard array leading axis across the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.device_put(batch, sharding)
+
+
+def make_dp_train_step(model, cfgv, cfg_losses, rf_basis, mesh,
+                       axis="data", donate=True):
+    """Data-parallel version of train.make_train_step: batch sharded over
+    the mesh axis, params/optimizer state replicated, gradient reduction
+    compiled to an XLA psum over ICI."""
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(cfgv.clip_grad),
+        optax.adam(cfgv.lr))
+    mmd_cfg = cfg_losses.wae_mmd
+    beta_sched = cfgv.beta
+    z_regu_name = cfgv.z_regu_loss
+
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(axis))
+
+    def loss_fn(params, key, text, beta):
+        k_fwd, k_mmd, k_rf = jax.random.split(key, 3)
+        (mu, logvar), (z, c), dec_logits = model.forward(
+            params, k_fwd, text, q_c="prior", sample_z=1, train=True)
+        recon = L.recon_dec(text, dec_logits)
+        kl = L.kl_gaussianprior(mu, logvar)
+        # the z-coupled MMD terms see the GLOBAL batch: XLA all-gathers z
+        # (100-dim rows — negligible ICI traffic at these sizes)
+        mmd = L.wae_mmd_gaussianprior_full(k_mmd, z, mmd_cfg.sigma,
+                                           mmd_cfg.kernel)
+        rf_w, rf_b = rf_basis
+        mmdrf = L.wae_mmd_gaussianprior_rf(k_rf, z, rf_w, rf_b,
+                                           mmd_cfg.sigma)
+        z_regu = {"kl": kl, "mmd": mmd, "mmdrf": mmdrf}[z_regu_name]
+        z_logvar_L1 = jnp.mean(jnp.sum(jnp.abs(logvar), axis=1))
+        z_logvar_KL = L.kl_gaussian_sharedmu(mu, logvar)
+        loss = (recon + beta * z_regu
+                + cfgv.lambda_logvar_L1 * z_logvar_L1
+                + cfgv.lambda_logvar_KL * z_logvar_KL)
+        return loss, {"L_vae": loss, "L_vae_recon": recon, "L_vae_kl": kl,
+                      "L_wae_mmd": mmd, "L_wae_mmdrf": mmdrf}
+
+    @partial(jax.jit,
+             in_shardings=(repl, repl, repl, batch_sh, repl),
+             out_shardings=(repl, repl, repl),
+             donate_argnums=(0, 1) if donate else ())
+    def train_step(params, opt_state, key, text, it):
+        beta = anneal(beta_sched, it.astype(jnp.float32))
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            params, key, text, beta)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return train_step, optimizer
+
+
+def dp_rejection_round(mesh, sampler, clf_w, clf_b, targets, key, n,
+                       axis="data"):
+    """CLaSS rejection round sharded across the mesh: each device draws and
+    scores n/D candidates; outputs stay device-sharded for chained use."""
+    from ..latent import gmm as gmm_mod
+
+    kind, q_params = sampler
+    cov_type = kind.split("_", 1)[1]
+    n_dev = mesh.devices.size
+    assert n % n_dev == 0, f"round size {n} must divide over {n_dev} devices"
+
+    repl = NamedSharding(mesh, P())
+    out_sh = NamedSharding(mesh, P(axis))
+
+    @partial(jax.jit,
+             in_shardings=(repl, repl, repl, repl, repl),
+             out_shardings=(out_sh, out_sh, out_sh, out_sh),
+             static_argnums=(5,))
+    def round_fn(key, q, cw, cb, tg, n_static):
+        kz, ku = jax.random.split(key)
+        z = gmm_mod.sample(kz, q, n_static, cov_type)
+        z = jax.lax.with_sharding_constraint(z, out_sh)
+        p1 = jax.nn.sigmoid(z @ cw.T + cb[None, :])
+        probs = jnp.where(tg[None, :] == 1, p1, 1.0 - p1)
+        accum = jnp.prod(probs, axis=1)
+        accept = jax.random.uniform(ku, (n_static,)) < accum
+        return z, probs, accum, accept
+
+    return round_fn(key, q_params, clf_w, clf_b, targets, n)

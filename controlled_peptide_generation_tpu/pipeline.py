@@ -1,0 +1,285 @@
+"""CLaSS sampling pipeline (reference: sample_pipeline.py).
+
+Fit the attribute-conditioned marginal posterior Q_xi^a(z) (GMM by on-device
+EM), fit latent logistic-regression attribute classifiers, then loop:
+rejection-sample latents (one fused device program per round), beam-decode
+them in fixed-size chunks (batched on-device beam), score physicochemistry,
+dedup on host, until enough accepted samples exist.
+
+Differences from the reference are TPU-structural, not semantic: the Q fit,
+classifier fits, rejection scoring and beam decode all run on device; pandas
+bookkeeping, dedup and artifact IO stay host-side.
+"""
+
+import datetime
+import json
+import logging
+import os
+from collections import OrderedDict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from . import config as C
+from .api import (load_trained_model, get_model_and_vocab_path,
+                  get_result_for_model, load_vocab)
+from .data import AttributeDataLoader
+from .evals.peptide_evals import compute_modlamp
+from .generation import generate_sentences
+from .latent import density, logreg
+from .vis import build_index
+
+LOG = logging.getLogger("GenerationAPI")
+
+Q_CLASS = density.mogQ
+Q_KWARGS = {"n_components": None, "z_num_samples": 10,
+            "covariance_type": None}
+
+
+# ---------------------------------------------------------------------------
+# encodings
+# ---------------------------------------------------------------------------
+
+def get_encodings_from_states(cfg, query, split, attributes=None):
+    """Read dumped latent states and filter rows matching
+    {attr_name: label} (reference sample_pipeline.py:73-92)."""
+    attributes = attributes or C.dataset_spec(cfg)["attributes"]
+    attr_to_colix = {k: i for i, (k, _) in enumerate(attributes)}
+    fname = build_index.states_path(cfg.savepath, split, cfg.vae.n_iter)
+    assert os.path.exists(fname), (
+        f"need dumped states at {fname}, run static_eval --long first")
+    states = build_index.read_states(fname)
+    mu = states["mu"].astype(np.float64)
+    logvar = states["logvar"].astype(np.float64)
+    lab = states["label"]
+    sel = np.ones(lab.shape[0], bool)
+    for attr_name, val in query.items():
+        sel &= lab[:, attr_to_colix[attr_name]] == val
+    return mu[sel], logvar[sel]
+
+
+def get_encodings_from_dataloader(cfg, query, split, model, params,
+                                  dataloader):
+    """Encode amp-positive rows straight from the dataloader
+    (reference sample_pipeline.py:47-71)."""
+    assert query == {"amp": 1}, "only amp=1 supported, as in the reference"
+    spec = {"get_encoding": {
+        "subset": [f"split={split}", "amp=amp_posc,amp_posnc"],
+        "repeat": False}}
+    iterators, _ = dataloader.get_subset_iterators(spec, cfg.vae.batch_size)
+
+    @jax.jit
+    def encode(text):
+        (mu, logvar), _, _ = model.forward(
+            params, jax.random.PRNGKey(0), text, q_c="classifier",
+            sample_z="max", train=False)
+        return mu, logvar
+
+    mus, logvars = [], []
+    for rows in iterators["get_encoding"]:
+        batch = dataloader._make_batch(rows)
+        mu, logvar = encode(jnp.asarray(batch.text))
+        mus.append(np.asarray(mu))
+        logvars.append(np.asarray(logvar))
+    return np.concatenate(mus), np.concatenate(logvars)
+
+
+# ---------------------------------------------------------------------------
+# Q fit + latent classifiers
+# ---------------------------------------------------------------------------
+
+def fitQ_and_test(cfg, QClass, QKwargs, Q_select=None, negative_select=None,
+                  model=None, params=None, dataloader=None, key=None):
+    Q_select = Q_select or {}
+    key = key if key is not None else jax.random.PRNGKey(cfg.seed)
+    if model is not None and dataloader is not None:
+        mu, logvar = get_encodings_from_dataloader(
+            cfg, Q_select, "train,val", model, params, dataloader)
+    else:
+        mu, logvar = get_encodings_from_states(cfg, Q_select, "train")
+
+    qkw = {k: v for k, v in QKwargs.items() if v is not None}
+    Q = QClass(np.asarray(mu, np.float32), np.asarray(logvar, np.float32),
+               key=key, **qkw)
+    if hasattr(Q, "info"):
+        LOG.info("mog-%s. Converged: %s in %s iters, "
+                 "log likelihood lower bound: %.4f",
+                 qkw.get("n_components"), bool(Q.info.converged),
+                 int(Q.info.n_iter), float(Q.info.lower_bound))
+    LOG.info("Fitted %s %s on selection %s", QClass.__name__, str(qkw),
+             str(Q_select))
+
+    eval_points = [
+        ("a,tr", get_encodings_from_states(cfg, Q_select, "train")),
+        ("a,hld", get_encodings_from_states(cfg, Q_select, "test")),
+    ]
+    metrics = OrderedDict()
+    for i, (name, points) in enumerate(eval_points):
+        metrics[name] = density.evaluate_nll(
+            Q, points, jax.random.fold_in(key, 100 + i))
+    return Q, metrics
+
+
+def build_clfZ(cfg, attr, attributes=None):
+    """Latent logistic-regression classifier attr=1 vs attr=0 on encoder
+    means (reference sample_pipeline.py:169-192), fit on device."""
+    zpos_mu, _ = get_encodings_from_states(cfg, {attr: 1}, "train",
+                                           attributes)
+    zneg_mu, _ = get_encodings_from_states(cfg, {attr: 0}, "train",
+                                           attributes)
+    X = jnp.asarray(np.concatenate([zpos_mu, zneg_mu]), jnp.float32)
+    y = jnp.concatenate([jnp.ones(len(zpos_mu)), jnp.zeros(len(zneg_mu))])
+    clf, n_iter = logreg.fit(X, y)
+    acc = float(logreg.accuracy(clf, X, y))
+    LOG.info("Fitted LogReg classifier in z-space, on attr=%s.", attr)
+    LOG.info("num samples: %d pos, %d neg. train accuracy=%.5f",
+             len(zpos_mu), len(zneg_mu), acc)
+    return clf
+
+
+# ---------------------------------------------------------------------------
+# decode + sampling rounds
+# ---------------------------------------------------------------------------
+
+def decode_from_z(z, model, params, dataset, key=None, chunk=1024,
+                  beam_size=5):
+    """Beam-decode latents in fixed-size chunks (top-1 hypothesis kept).
+    The final partial chunk is zero-padded so every launch reuses one
+    compiled program (reference decodes variable chunks:
+    sample_pipeline.py:129-139)."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    z = np.asarray(z, np.float32)
+    n = z.shape[0]
+    outs = []
+    LOG.info("Decoder decoding: beam search")
+    for s in range(0, n, chunk):
+        zc = z[s:s + chunk]
+        pad = chunk - zc.shape[0]
+        if pad and n > chunk:
+            zc = np.concatenate([zc, np.zeros((pad, z.shape[1]), z.dtype)])
+        sents, _, _ = generate_sentences(
+            model, params, jax.random.fold_in(key, s), zc.shape[0],
+            z=jnp.asarray(zc), sample_mode="beam", beam_size=beam_size,
+            n_best=1)
+        top1 = np.asarray(sents)[:, 0, :]
+        outs.append(top1[:chunk - pad] if pad and n > chunk else top1)
+    tokens = np.concatenate(outs, axis=0)
+    return dataset.idx2sentences(tokens, print_special_tokens=False)
+
+
+def get_new_samples(cfg, model, params, dataset, Q, n_samples, key):
+    """One round: rejection-sample z's, decode all of them, assemble the
+    per-sample dataframe (reference sample_pipeline.py:196-208)."""
+    k_rej, k_dec = jax.random.split(key)
+    samples_z, scores_z, accept_z = Q.rejection_sample(k_rej, n_samples)
+    samples = decode_from_z(samples_z, model, params, dataset, key=k_dec)
+    scores_np = {k: (np.asarray(v) if hasattr(v, "shape") else v)
+                 for k, v in scores_z.items()}
+    return pd.DataFrame({
+        "peptide": samples,
+        "z": [tuple(map(float, row)) for row in np.asarray(samples_z)],
+        "accept_z": np.asarray(accept_z),
+        **scores_np,
+    })
+
+
+def one_sampling_round(cfg, model, params, dataset, Q, n_samples_per_round,
+                       key):
+    df = get_new_samples(cfg, model, params, dataset, Q,
+                         n_samples_per_round, key)
+    df = compute_modlamp(df)
+    df["accept"] = df["accept_z"]
+    return df
+
+
+def save_csv_pkl(samples, fn):
+    samples.drop(columns="z").to_csv(fn + ".csv", index_label="idx")
+    samples.to_pickle(fn + ".pkl")
+
+
+def save_samples(samples, basedir, fn_prefix):
+    outfn = os.path.join(basedir, fn_prefix)
+    outfn += "_{}".format(datetime.datetime.now().isoformat().split("T")[0])
+    with open(outfn + ".plain.txt", "w") as fh:
+        fh.write(samples["peptide"].to_string(index=False))
+    save_csv_pkl(samples, outfn)
+    LOG.info("Full sample list written to %s.pkl/csv", outfn)
+    accepted = samples[samples.accept]
+    accepted_fn = f"{outfn}.accepted.{len(accepted)}"
+    save_csv_pkl(accepted, accepted_fn)
+    LOG.info("Accepted sample list written to %s.pkl/csv", accepted_fn)
+    return outfn
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def run(cfg, args):
+    """Full pipeline main (reference sample_pipeline.py:236-326)."""
+    model_path, vocab_path, _ = get_model_and_vocab_path(cfg)
+    LOG.info("Load model, vocab, dataloader.")
+    vocab = load_vocab(vocab_path)
+    model, params = load_trained_model(model_path, vocab.size(), cfg)
+    LOG.info("Loaded model succesfully.")
+
+    spec = C.dataset_spec(cfg)
+    spec.pop("synthetic", None)
+    dataset = AttributeDataLoader(mbsize=cfg.vae.batch_size,
+                                  max_seq_len=cfg.max_seq_len, **spec)
+
+    try:
+        metrics = get_result_for_model(model_path, print_results=False)
+        LOG.info("Model metrics: %s", json.dumps(metrics)[:500])
+    except FileNotFoundError:
+        LOG.info("No result.json next to model; continuing.")
+
+    LOG.info("Fit attribute-conditioned marginal posterior Q_xi^a(z)")
+    qkwargs = dict(Q_KWARGS)
+    for k in qkwargs:
+        if hasattr(args, "Q_" + k):
+            qkwargs[k] = getattr(args, "Q_" + k)
+
+    q_select = {"amp": 1} if args.Q_select_amppos else {}
+    key = jax.random.PRNGKey(cfg.seed)
+    Q, q_metrics = fitQ_and_test(
+        cfg, Q_CLASS, qkwargs, q_select, {},
+        model if args.Q_from_full_dataloader else None,
+        params if args.Q_from_full_dataloader else None,
+        dataset if args.Q_from_full_dataloader else None,
+        key=key)
+    LOG.info("Q Fit metrics: %s", json.dumps(q_metrics, indent=4))
+
+    z_clfs = {attr: build_clfZ(cfg, attr, spec["attributes"])
+              for attr in ["amp", "tox"]}
+    Q.init_attr_classifiers(z_clfs, clf_targets={"amp": 1, "tox": 0})
+
+    samples = pd.DataFrame(columns=["peptide"])
+    round_ix = 0
+
+    def is_finished(df, min_accepted):
+        return not (len(df) < min_accepted
+                    or df["accept"].sum() < min_accepted)
+
+    while not is_finished(samples, args.n_samples_acc):
+        round_ix += 1
+        LOG.info("Round #%d", round_ix)
+        new = one_sampling_round(cfg, model, params, dataset, Q,
+                                 args.n_samples_per_round,
+                                 jax.random.fold_in(key, round_ix))
+        new = new.loc[new.peptide.drop_duplicates().index]
+        new = new[~new["peptide"].isin(samples["peptide"])]
+        samples = pd.concat([samples, new], ignore_index=True, sort=False)
+        dropped = args.n_samples_per_round - new.shape[0]
+        if dropped > 0:
+            LOG.info("Dropped %d duplicate samples", dropped)
+        LOG.info("Q_xi(z|a) rejection sampling acceptance rate: "
+                 "%d/%d = %.4f", samples["accept_z"].sum(), len(samples),
+                 100.0 * samples["accept_z"].sum() / len(samples))
+        LOG.info("     - full filter pipeline accepted: %d/%d = %.4f",
+                 samples["accept"].sum(), len(samples),
+                 100.0 * samples["accept"].sum() / len(samples))
+
+    return save_samples(samples, cfg.savepath, args.samples_outfn_prefix)

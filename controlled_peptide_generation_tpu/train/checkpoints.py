@@ -44,11 +44,13 @@ def load(path, template, strict=True):
     data = np.load(path)
     avail = set(data.files)
 
+    import jax.numpy as jnp
+
     def fill(kp, leaf):
         key = jax.tree_util.keystr(kp)
         if key in avail:
             arr = data[key]
-            return arr if np.ndim(arr) else arr[()]
+            return jnp.asarray(arr) if np.ndim(arr) else arr[()]
         if strict:
             raise KeyError(f"checkpoint {path} missing {key}")
         return leaf

@@ -1,0 +1,80 @@
+import numpy as np
+import pandas as pd
+
+from controlled_peptide_generation_tpu.evals import alignment, peptide_evals
+from controlled_peptide_generation_tpu.evals.peptide_evals import (
+    PeptideEvaluator, compute_modlamp)
+
+
+def align(a, b):
+    L = max(len(a), len(b))
+    ac, al = alignment.encode_seqs([a], L)
+    bc, bl = alignment.encode_seqs([b], L)
+    return float(alignment.align_scores(ac, bc, al, bl)[0])
+
+
+def test_alignment_hand_computed():
+    # identical: sum of diagonal BLOSUM62 entries
+    assert align("AA", "AA") == 8.0            # A-A = 4
+    assert align("ACDE", "ACDE") == 4 + 9 + 6 + 5
+    assert align("W", "W") == 11.0
+    # one insertion: match + gap open
+    assert align("A", "AA") == 4 - 10
+    # gap of length 3: open + 2 * extend
+    assert align("A", "AAAA") == 4 - 10 - 2
+    # mismatch vs gap tradeoff: substitution wins over two gaps
+    assert align("AW", "AY") == 4 + 2          # W-Y = 2
+
+
+def test_alignment_batched_matches_single():
+    pairs = [("KKLL", "KKLL"), ("ACD", "WYV"), ("MKT", "MKTAA")]
+    L = 8
+    ac, al = alignment.encode_seqs([p[0] for p in pairs], L)
+    bc, bl = alignment.encode_seqs([p[1] for p in pairs], L)
+    batch = np.asarray(alignment.align_scores(ac, bc, al, bl))
+    singles = [align(a, b) for a, b in pairs]
+    np.testing.assert_allclose(batch, singles)
+
+
+def test_clean_sequence_filters_specials():
+    assert peptide_evals.clean_sequence("A C K") == "ACK"
+    assert peptide_evals.clean_sequence("A <pad> C") == ""
+    assert peptide_evals.clean_sequence("<start> A") == ""
+
+
+def test_charge_and_moment():
+    assert peptide_evals.calculate_charge("KKDD") == 0
+    assert peptide_evals.calculate_charge("KRKR") == 4
+    assert peptide_evals.calculate_charge("AAAA") == 0
+    # single residue: moment == |H|
+    hv = peptide_evals.assign_hydrophobicity("K")
+    assert abs(peptide_evals.calculate_moment(hv) - 1.10) < 1e-6
+    # uniform residues along a helix partially cancel
+    hv4 = peptide_evals.assign_hydrophobicity("LLLL")
+    assert peptide_evals.calculate_moment(hv4) < 0.53
+
+
+def test_heuristics_aggregate():
+    ev = PeptideEvaluator()
+    res = ev.heuristics(["K K L L", "A A A A"])
+    assert res["avg_size"] == 4.0
+    assert 0 < res["av_n_c"] < 1
+    comp = ev.aa_composition(["K K L L"])
+    assert comp["K"] == 0.5 and comp["L"] == 0.5
+
+
+def test_similarity_self_vs_random():
+    ev = PeptideEvaluator()
+    seqs_a = ["K K L L K K L L", "L L K K L L K K"]
+    res, av = ev.similarity(seqs_a, seqs_a, matrix_size=2)
+    assert len(res["sim"]) > 0
+    assert np.isfinite(av)
+
+
+def test_compute_modlamp_columns():
+    df = pd.DataFrame({"peptide": ["K K L L", "", "A C D E"]})
+    out = compute_modlamp(df)
+    assert set(["H", "uH", "charge"]).issubset(out.columns)
+    assert out.loc[0, "charge"] == 2.0
+    assert out.loc[1, "H"] == 0.0
+    assert out.loc[2, "charge"] == -2.0

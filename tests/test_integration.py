@@ -1,0 +1,115 @@
+"""End-to-end integration: tiny train -> state dump -> CLaSS pipeline ->
+static-eval battery. This is the rebuild's equivalent of the reference's
+run.sh smoke path (main.py + static_eval.py under --tiny)."""
+
+import argparse
+import os
+
+import jax
+import numpy as np
+import pytest
+
+import main as main_mod
+import static_eval as se_mod
+from controlled_peptide_generation_tpu import config as C
+from controlled_peptide_generation_tpu import pipeline
+from controlled_peptide_generation_tpu.api import (
+    load_trained_model, load_vocab, get_model_and_vocab_path)
+from controlled_peptide_generation_tpu.vis import build_index, covar, kde
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    base = tmp_path_factory.mktemp("e2e")
+    argv = ["--tiny", "1", "--dataset", "synthetic", "--runname", "e2e",
+            "--savepath_toplevel", str(base / "out"),
+            "--tb_toplevel", str(base / "tb"),
+            "--datapath", str(base / "data")]
+    cfg = main_mod.main(argv)
+    return cfg, argv
+
+
+def _load(cfg):
+    model_path, vocab_path, base = get_model_and_vocab_path(cfg)
+    vocab = load_vocab(vocab_path)
+    model, params = load_trained_model(model_path, vocab.size(), cfg)
+    return model, params, vocab, base
+
+
+def test_training_artifacts(trained_run):
+    cfg, _ = trained_run
+    assert os.path.exists(os.path.join(cfg.savepath, "model_100.npz"))
+    assert os.path.exists(os.path.join(cfg.savepath, "result.json"))
+    assert os.path.exists(cfg.vae.gen_samples_path)
+    with open(cfg.vae.gen_samples_path) as fh:
+        lines = [ln for ln in fh.read().splitlines()]
+    assert len(lines) == cfg.evals.sample_size
+    # loss decreased over the tiny run
+    import json
+    rows = json.load(open(os.path.join(cfg.savepath, "result.json")))
+    assert rows[-1]["train_L_vae_recon"] < rows[0]["train_L_vae_recon"]
+
+
+def test_state_dump_and_pipeline(trained_run):
+    cfg, _ = trained_run
+    model, params, vocab, base = _load(cfg)
+    dataset = main_mod.load_dataset(cfg)
+    paths = build_index.extract_from_dataset(
+        model, params, vocab, cfg, dataset, base, cfg.vae.n_iter,
+        max_examples=300)
+    for split in ("train", "val", "test"):
+        assert os.path.exists(paths[split])
+    states = build_index.read_states(paths["train"])
+    assert states["mu"].shape[1] == cfg.model.z_dim
+    assert states["src"].shape[1] == cfg.max_seq_len
+    assert states["label"].shape[1] == len(C.dataset_spec(cfg)["attributes"])
+
+    # exact MIPS index matches brute-force inner-product top-k
+    idx = build_index.LatentIndex.from_states(paths["train"])
+    q = states["z"][:5].astype(np.float32)
+    scores, top = idx.search(q, k=3)
+    ref_sims = q @ states["z"].astype(np.float32).T
+    ref_scores = np.sort(ref_sims, axis=1)[:, ::-1][:, :3]
+    np.testing.assert_allclose(scores, ref_scores, rtol=1e-4, atol=1e-4)
+
+    # CLaSS pipeline end to end (small rounds)
+    args = argparse.Namespace(
+        Q_n_components=8, Q_covariance_type="diag",
+        n_samples_per_round=64, n_samples_acc=5,
+        samples_outfn_prefix="testsamples",
+        Q_select_amppos=0, Q_from_full_dataloader=False)
+    outfn = pipeline.run(cfg, args)
+    assert os.path.exists(outfn + ".csv")
+    assert os.path.exists(outfn + ".plain.txt")
+    import pandas as pd
+    df = pd.read_pickle(outfn + ".pkl")
+    assert {"peptide", "z", "accept_z", "accept", "H", "uH",
+            "charge"}.issubset(df.columns)
+    assert df["accept"].sum() >= 5
+
+
+def test_static_eval_battery(trained_run, capsys):
+    cfg, _ = trained_run
+    model, params, vocab, base = _load(cfg)
+    se_mod.test_interpolated_peptides(model, params, vocab)
+    se_mod.test_sampling(model, params, vocab, n_samples=2)
+    se_mod.test_interpolated_z(model, params, vocab)
+    se_mod.test_reconstruction(model, params, vocab, "M K T A, K L L K")
+    se_mod.test_reconstruction_interpol(model, params, vocab,
+                                        "M K T A, K L L K")
+    out = capsys.readouterr().out
+    assert "INTERPOLATING" not in out  # log lines go to logging, not stdout
+    assert "reco of" in out
+    assert "hyp" in out  # beam hypotheses printed
+
+
+def test_vis_diagnostics(trained_run):
+    cfg, _ = trained_run
+    base = cfg.savepath
+    fnames = {s: build_index.states_path(base, s, cfg.vae.n_iter)
+              for s in ("train", "val", "test")}
+    frob_pos, frob_unl = covar.eval(fnames)
+    assert np.isfinite(frob_pos) and np.isfinite(frob_unl)
+    attrs = C.dataset_spec(cfg)["attributes"]
+    res = kde.eval(fnames, attrs)
+    assert res  # produced at least one subset diagnostic
