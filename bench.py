@@ -27,11 +27,13 @@ import time
 logging.basicConfig(level=logging.WARNING)
 
 # measured via `python bench.py --platform cpu --all` on this host
-# (1-core CPU, see BASELINE.md). Conservative stand-ins for the reference.
+# (1-core CPU, see BASELINE.md). Conservative stand-ins for the reference:
+# this is OUR vectorized implementation on CPU, which is itself much faster
+# than the reference's per-sentence python beam loop.
 CPU_BASELINE = {
-    "class_accepted_samples_per_sec": 2.02,
-    "wae_train_steps_per_sec": 8.93,
-    "beam_decode_seqs_per_sec": 347.0,
+    "class_accepted_samples_per_sec": 705.7,
+    "wae_train_steps_per_sec": 47.9,
+    "beam_decode_seqs_per_sec": 2702.0,
 }
 
 
@@ -54,36 +56,41 @@ def build(seed=0):
 def bench_train(cfg, model, params, n_steps=100, batch_size=32):
     import jax
     import jax.numpy as jnp
+    import numpy as np
     from controlled_peptide_generation_tpu.ops import losses as L
-    from controlled_peptide_generation_tpu.train import make_train_step
+    from controlled_peptide_generation_tpu.train.train_vae import (
+        make_train_scan)
 
     rf = L.init_rf_basis(jax.random.PRNGKey(1), model.z_dim,
                          cfg.losses.wae_mmd.rf_dim)
-    step, opt = make_train_step(model, cfg.vae, cfg.losses, rf, donate=True)
+    unroll = 10
+    chunk_step, opt = make_train_scan(model, cfg.vae, cfg.losses, rf,
+                                      unroll, donate=True)
+    # donated buffers: work on a private copy so callers keep their params
+    params = jax.tree.map(jnp.copy, params)
     opt_state = opt.init(params)
 
-    # pre-draw a pool of batches (host batch assembly is a fancy-index
-    # gather; the loop still pays a fresh H2D transfer per step)
+    # pre-draw a pool of batch chunks; the loop still pays a fresh H2D
+    # transfer per dispatch (host feed included in the measurement)
     rng = jax.random.PRNGKey(2)
-    pool = jax.random.randint(rng, (16, batch_size, model.max_seq_len),
-                              4, model.n_vocab, jnp.int32)
-    pool = pool.at[:, :, 0].set(2)
-    pool = pool.at[:, :, 12].set(3)
-    import numpy as np
+    pool = jax.random.randint(
+        rng, (4, unroll, batch_size, model.max_seq_len), 4, model.n_vocab,
+        jnp.int32)
+    pool = pool.at[..., 0].set(2)
+    pool = pool.at[..., 12].set(3)
     pool_np = np.asarray(pool)
 
     p, o = params, opt_state
-    for i in range(3):  # warmup/compile
-        p, o, m = step(p, o, jax.random.fold_in(rng, i),
-                       jnp.asarray(pool_np[0]), jnp.asarray(i, jnp.int32))
+    p, o, m = chunk_step(p, o, rng, jnp.asarray(pool_np[0]),
+                         jnp.asarray(0, jnp.int32))   # compile
     jax.block_until_ready(p)
+    n_chunks = max(n_steps // unroll, 1)
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        p, o, m = step(p, o, jax.random.fold_in(rng, 100 + i),
-                       jnp.asarray(pool_np[i % 16]),
-                       jnp.asarray(i, jnp.int32))
+    for i in range(n_chunks):
+        p, o, m = chunk_step(p, o, rng, jnp.asarray(pool_np[i % 4]),
+                             jnp.asarray(i * unroll, jnp.int32))
     jax.block_until_ready(p)
-    return n_steps / (time.perf_counter() - t0)
+    return n_chunks * unroll / (time.perf_counter() - t0)
 
 
 def bench_beam(cfg, model, params, chunk=1024, n_chunks=4, beam_size=5):
@@ -131,35 +138,29 @@ def bench_class(cfg, model, params, n_per_round=5000, min_accepted=100,
          "tox": logreg.LogRegParams(w=w2, b=jnp.asarray(-0.4))},
         {"amp": 1, "tox": 0})
 
-    # compile both stages once (excluded from timing)
-    z, _, acc = Q.rejection_sample(key, n_per_round)
-    zc = z[:1024]
-    hyps, _ = beam_search(model, params, zc,
-                          model.sample_c_prior(key, 1024), beam_size=5,
-                          n_best=1)
-    jax.block_until_ready(hyps)
+    from controlled_peptide_generation_tpu.latent.fused import fused_round
 
-    accepted = 0
-    rounds = 0
+    # compile the fused round once (excluded from timing)
+    _, _, accept, tokens = fused_round(model, params, key, Q, n_per_round)
+    jax.block_until_ready(tokens)
+
+    # steady-state: rounds are independent until the host-side dedup, so
+    # they pipeline; the reference's >=min_accepted stop criterion is hit
+    # inside round 1 at these acceptance rates — measure 10 rounds and
+    # report aggregate accepted/sec (decode-ALL-candidates semantics kept)
+    n_rounds = 10
+    outs = []
     t0 = time.perf_counter()
-    while accepted < min_accepted:
-        rounds += 1
-        kr = jax.random.fold_in(key, rounds)
-        z, scores, accept = Q.rejection_sample(kr, n_per_round)
-        # decode ALL candidates in fixed 1024 chunks (reference semantics)
-        for s in range(0, n_per_round, 1024):
-            zc = z[s:s + 1024]
-            pad = 1024 - zc.shape[0]
-            if pad:
-                zc = jnp.pad(zc, ((0, pad), (0, 0)))
-            c = model.sample_c_prior(jax.random.fold_in(kr, s), 1024)
-            hyps, _ = beam_search(model, params, zc, c, beam_size=5,
-                                  n_best=1)
-        hyps.block_until_ready()
-        accepted += int(jnp.sum(accept))
+    for r in range(n_rounds):
+        _, _, accept, tokens = fused_round(
+            model, params, jax.random.fold_in(key, r + 1), Q, n_per_round)
+        outs.append((accept, tokens))
+    jax.block_until_ready(outs[-1][1])
     dt = time.perf_counter() - t0
-    log(f"CLaSS: {accepted} accepted in {rounds} rounds "
-        f"({rounds * n_per_round} decoded) in {dt:.2f}s")
+    accepted = sum(int(jnp.sum(a)) for a, _ in outs)
+    assert accepted >= min_accepted
+    log(f"CLaSS: {accepted} accepted in {n_rounds} rounds "
+        f"({n_rounds * n_per_round} decoded) in {dt:.2f}s")
     return accepted / dt
 
 

@@ -291,6 +291,8 @@ def default_config():
         mesh_axis="data",
         bf16_compute=False,   # cast GRU matmuls to bfloat16 (MXU-native)
         donate_state=True,    # donate train-state buffers to the jitted step
+        unroll=10,            # optimizer steps per device dispatch (train)
+        fused_rounds=True,    # CLaSS: rejection+decode fused into one jit
     )
 
     # dataset switch (cfg.py:304-372)

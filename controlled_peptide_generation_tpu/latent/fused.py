@@ -1,0 +1,54 @@
+"""Fully fused CLaSS round: rejection sampling + beam decode in ONE jit.
+
+The pipeline's per-round host loop (sample -> score -> accept -> chunked
+decode) costs a dozen device dispatches; over a tunneled/remote TPU the
+dispatch latency dominates end-to-end throughput (measured: chunked rounds
+run at CPU speed while the pure beam kernel is 19x faster). Fusing the whole
+round — GMM draw, every classifier head, the acceptance test, the c-prior
+draw and the full-batch batched beam decode — into a single XLA program
+makes one round one dispatch.
+
+Semantically identical to the reference round (sample_pipeline.py:196-229):
+every candidate is decoded (not just accepted ones), top-1 beam hypothesis
+kept.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.beam import beam_search
+from . import gmm as gmm_mod
+
+
+@partial(jax.jit, static_argnames=("model", "kind", "n", "beam_size"))
+def _fused_round(model, params, key, kind, q_params, clf_w, clf_b, targets,
+                 n, beam_size=5):
+    kz, ku, kc = jax.random.split(key, 3)
+    cov_type = kind.split("_", 1)[1]
+    z = gmm_mod.sample(kz, q_params, n, cov_type)
+    p1 = jax.nn.sigmoid(z @ clf_w.T + clf_b[None, :])
+    probs = jnp.where(targets[None, :] == 1, p1, 1.0 - p1)
+    accum = jnp.prod(probs, axis=1)
+    accept = jax.random.uniform(ku, (n,)) < accum
+    c = model.sample_c_prior(kc, n)
+    hyps, scores = beam_search(model, params, z, c, beam_size=beam_size,
+                               n_best=1)
+    return z, c, probs, accum, accept, hyps[:, 0, :]
+
+
+def fused_round(model, params, key, Q, n, beam_size=5, prefix="clfZ"):
+    """One dispatch: returns (z, scores dict, accept, tokens [n, T+1])."""
+    names = sorted(Q.attr_clfs)
+    clf_w = jnp.stack([Q.attr_clfs[a].w for a in names])
+    clf_b = jnp.stack([Q.attr_clfs[a].b for a in names])
+    targets = jnp.array([Q.clf_targets[a] for a in names])
+    kind, q_params = Q._sampler()
+    z, c, probs, accum, accept, tokens = _fused_round(
+        model, params, key, kind, q_params, clf_w, clf_b, targets, n,
+        beam_size)
+    scores = {f"{prefix}_prob_accum": accum}
+    for i, a in enumerate(names):
+        scores[f"{prefix}_{a}={Q.clf_targets[a]}"] = probs[:, i]
+    return z, scores, accept, tokens

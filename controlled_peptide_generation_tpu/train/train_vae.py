@@ -96,6 +96,71 @@ def make_train_step(model, cfgv, cfg_losses, rf_basis, donate=True):
     return train_step, optimizer
 
 
+def make_train_scan(model, cfgv, cfg_losses, rf_basis, unroll, donate=True):
+    """Multi-step train chunk: ``unroll`` optimizer steps inside ONE jitted
+    program (lax.scan over pre-staged batches). Removes per-step dispatch
+    latency — the dominant cost on a remote/tunneled TPU — while computing
+    exactly the same updates as ``unroll`` calls of make_train_step."""
+    assert rf_basis is not None, (
+        "train scan requires a fixed RF basis (rf_resample=False)")
+    optimizer = make_optimizer(cfgv)
+    mmd_cfg = cfg_losses.wae_mmd
+    beta_sched = cfgv.beta
+    z_regu_name = cfgv.z_regu_loss
+
+    def loss_fn(params, key, text, beta):
+        # identical key-split structure to make_train_step's loss_fn so the
+        # unrolled and step-by-step paths produce the SAME trajectories
+        k_fwd, k_mmd, k_rf, _k_basis = jax.random.split(key, 4)
+        (mu, logvar), (z, c), dec_logits = model.forward(
+            params, k_fwd, text, q_c="prior", sample_z=1, train=True)
+        recon = L.recon_dec(text, dec_logits)
+        kl = L.kl_gaussianprior(mu, logvar)
+        mmd = L.wae_mmd_gaussianprior_full(k_mmd, z, mmd_cfg.sigma,
+                                           mmd_cfg.kernel)
+        rf_w, rf_b = rf_basis
+        mmdrf = L.wae_mmd_gaussianprior_rf(k_rf, z, rf_w, rf_b,
+                                           mmd_cfg.sigma)
+        z_regu = {"kl": kl, "mmd": mmd, "mmdrf": mmdrf}[z_regu_name]
+        z_logvar_L1 = jnp.mean(jnp.sum(jnp.abs(logvar), axis=1))
+        z_logvar_KL = L.kl_gaussian_sharedmu(mu, logvar)
+        loss = (recon + beta * z_regu
+                + cfgv.lambda_logvar_L1 * z_logvar_L1
+                + cfgv.lambda_logvar_KL * z_logvar_KL)
+        return loss, {
+            "z_mu_L1": jnp.mean(jnp.abs(mu)),
+            "z_logvar": jnp.mean(logvar),
+            "z_logvar_L1": z_logvar_L1,
+            "z_logvar_KL_penalty": z_logvar_KL,
+            "L_vae": loss, "L_vae_recon": recon, "L_vae_kl": kl,
+            "L_wae_mmd": mmd, "L_wae_mmdrf": mmdrf,
+        }
+
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
+    def train_chunk(params, opt_state, key, texts, it0):
+        """texts: [unroll, B, T]; runs steps it0 .. it0+unroll-1."""
+        def body(carry, inp):
+            params, opt_state = carry
+            text, i = inp
+            it = it0 + i
+            beta = anneal(beta_sched, it.astype(jnp.float32))
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(
+                params, jax.random.fold_in(key, it), text, beta)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            metrics["beta"] = beta
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), metrics
+
+        (params, opt_state), metrics = jax.lax.scan(
+            body, (params, opt_state),
+            (texts, jnp.arange(unroll, dtype=jnp.int32)))
+        last = jax.tree.map(lambda m: m[-1], metrics)
+        return params, opt_state, last
+
+    return train_chunk, optimizer
+
+
 def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
     """Run the phase-1 loop. Returns (params, opt_state, steps_per_sec)."""
     cfgv = cfg.vae
@@ -118,10 +183,38 @@ def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
         params, opt_state = state["params"], state["opt"]
         log.info("Loaded train state from %s", cfg.loadpath)
 
+    # multi-step unroll: run `unroll` optimizer steps per device dispatch
+    # between host/logging boundaries
+    unroll = int(cfg.hw.get("unroll", 1) or 1)
+    if rf_basis is None:
+        unroll = 1   # rf_resample=True needs the per-step basis key
+    if unroll > 1:
+        train_chunk, _ = make_train_scan(model, cfgv, cfg.losses, rf_basis,
+                                         unroll,
+                                         donate=cfg.hw.donate_state)
+
+    def needs_host(j):
+        """Step j requires host-side work (logging or checkpoint)."""
+        return (j % cfgv.cheaplog_every == 0
+                or j % cfgv.expsvlog_every == 0)
+
     logger = logger or tblog._default_logger
     t_start, it_start = time.time(), cfgv.s_iter
     log.info("Training base vae ...")
-    for it in range(cfgv.s_iter, cfgv.s_iter + cfgv.n_iter + 1):
+    it = cfgv.s_iter
+    end_it = cfgv.s_iter + cfgv.n_iter
+    while it <= end_it:
+        # take an unrolled chunk whenever no step inside it needs the host;
+        # RNG streams and batch order are identical either way
+        if (unroll > 1 and it + unroll - 1 <= end_it
+                and not any(needs_host(it + j) for j in range(unroll))):
+            texts = np.stack([dataset.next_batch("train_vae").text
+                              for _ in range(unroll)])
+            params, opt_state, metrics = train_chunk(
+                params, opt_state, k_steps, jnp.asarray(texts),
+                jnp.asarray(it, jnp.int32))
+            it += unroll
+            continue
         batch = dataset.next_batch("train_vae")
         params, opt_state, metrics = train_step(
             params, opt_state, jax.random.fold_in(k_steps, it),
@@ -154,6 +247,7 @@ def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
             log.info("Saved model to %s", cfgv.chkpt_path.format(it))
             if on_checkpoint is not None:
                 on_checkpoint(it, params)
+        it += 1
 
     jax.block_until_ready(params)
     steps_per_sec = (cfgv.n_iter + 1 - (it_start - cfgv.s_iter)) / max(
