@@ -38,6 +38,21 @@ def generate_sentences(model, params, key, mbsize, z=None, c=None,
     if model.flow > 0:
         z, _ = model.apply_flow(params, z)
 
+    if model.G_class == "deconv":
+        # non-autoregressive replay: all logits precomputed from (z, c)
+        logits = model.decode_logits(params, z, c)
+        if sample_mode == "beam":
+            hyps, _ = beam_ops.beam_search_logits(
+                logits, beam_size=beam_size, n_best=n_best,
+                min_length=min_length)
+            sentences = hyps
+        else:
+            sentences = sampling.sample_from_logits(
+                ks, logits, sample_mode=sample_mode, temp=temp,
+                prepend_start_idx=prepend_start_idx,
+                prevent_empty=prevent_empty)
+        return sentences, z, jnp.argmax(c, axis=1)
+
     if sample_mode == "beam":
         hyps, _ = beam_ops.beam_search(model, params, z, c,
                                        beam_size=beam_size, n_best=n_best,

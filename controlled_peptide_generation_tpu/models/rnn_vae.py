@@ -19,6 +19,7 @@ from ..data.vocab import START_IDX
 from ..ops import nn
 from . import encoder as enc
 from . import decoder as dec
+from . import deconv as deconv_mod
 from . import classifier as clf
 from . import flow as flow_mod
 
@@ -42,8 +43,18 @@ class RNNVAE:
         return self.z_dim + self.c_dim
 
     @property
+    def G_class(self):
+        return self.G_args.get("G_class", "gru")
+
+    @property
     def gru_args(self):
         return dict(self.G_args.get("GRU_args", {}))
+
+    @property
+    def deconv_args(self):
+        args = dict(self.G_args.get("deconv_args", {}))
+        args["max_seq_len"] = self.max_seq_len
+        return args
 
     # ------------------------------------------------------------------
     # params
@@ -56,14 +67,18 @@ class RNNVAE:
             "emb": nn.init_embedding(ke, self.n_vocab, self.emb_dim),
             "enc": enc.init(kenc, emb_dim=self.emb_dim, z_dim=self.z_dim,
                             **{k: v for k, v in self.E_args.items()}),
-            "dec": dec.init(
+            "dec": (dec.init(
                 kdec,
                 emb_dim=self.emb_dim + self.z_dim + self.c_dim,
                 output_dim=self.n_vocab,
                 h_dim=self.h_dec,
                 p_word_dropout=g_args.get("p_word_dropout", 0.3),
                 p_out_dropout=g_args.get("p_out_dropout", 0.3),
-                skip_connections=g_args.get("skip_connections", False)),
+                skip_connections=g_args.get("skip_connections", False))
+                if self.G_class == "gru" else
+                deconv_mod.init(
+                    kdec, h_dim=self.h_dec, output_dim=self.n_vocab,
+                    emb_dim=self.emb_dim, **self.deconv_args)),
             "clf": clf.init(kclf, self.emb_dim, **self.C_args),
         }
         if self.flow > 0:
@@ -114,12 +129,24 @@ class RNNVAE:
     # ------------------------------------------------------------------
 
     def decode_train(self, params, key, tokens, z, c, train=True):
+        if self.G_class == "deconv":
+            # non-autoregressive: all logits from (z, c), inputs ignored
+            # (reference decoder.py:281-334 forward ignores x)
+            return deconv_mod.apply(params["dec"], z, c,
+                                    emb_dim=self.emb_dim,
+                                    **self.deconv_args)
         g_args = self.gru_args
         return dec.apply_teacher_forced(
             params["dec"], params["emb"], tokens, z, c, key, train,
             p_word_dropout=g_args.get("p_word_dropout", 0.3),
             p_out_dropout=g_args.get("p_out_dropout", 0.3),
             skip_connections=g_args.get("skip_connections", False))
+
+    def decode_logits(self, params, z, c):
+        """Deconv path: the full cached-logits block [B, T, V]."""
+        assert self.G_class == "deconv"
+        return deconv_mod.apply(params["dec"], z, c, emb_dim=self.emb_dim,
+                                **self.deconv_args)
 
     def decode_step(self, params, token_hard, token_soft, z, c, h,
                     key=None, train=False):

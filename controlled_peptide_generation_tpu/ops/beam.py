@@ -195,3 +195,64 @@ def beam_search(model, params, z, c, beam_size=5, n_best=3, min_length=1,
     hyps, scores = finalize(ys, ptrs, state.scores, state.adv, state.fin_cnt,
                             state.fin_score, state.fin_t, state.fin_k)
     return hyps, scores
+
+
+@partial(jax.jit, static_argnames=("beam_size", "n_best", "min_length"))
+def beam_search_logits(all_logits, beam_size=5, n_best=3, min_length=1):
+    """Beam search over PRECOMPUTED per-step logits [B, T, V] — the deconv
+    decoder's replay contract: every beam of a sentence sees the same
+    distribution at step t (no hidden state, no decoder calls). Bookkeeping
+    semantics identical to beam_search."""
+    assert beam_size >= n_best
+    B, T, V = all_logits.shape
+    K = beam_size
+    F = K * T + n_best
+
+    prev0 = jnp.full((B, K), PAD_IDX, jnp.int32).at[:, 0].set(START_IDX)
+    state = BeamState(
+        scores=jnp.zeros((B, K)),
+        prev=prev0,
+        h=jnp.zeros((B, K, 1)),
+        adv=jnp.zeros((B,), jnp.int32),
+        eos_top=jnp.zeros((B,), bool),
+        fin_cnt=jnp.zeros((B,), jnp.int32),
+        fin_score=jnp.zeros((B, F)),
+        fin_t=jnp.zeros((B, F), jnp.int32),
+        fin_k=jnp.zeros((B, F), jnp.int32),
+    )
+    advance = jax.vmap(partial(_advance_one, K=K, V=V, F=F,
+                               min_length=min_length))
+    logits_tm = jnp.swapaxes(all_logits, 0, 1)          # [T, B, V]
+
+    def step(state, logits_t):
+        logp1 = jax.nn.log_softmax(logits_t, axis=-1)   # [B, V]
+        logp = jnp.broadcast_to(logp1[:, None, :], (B, K, V))
+        done = state.eos_top & (state.fin_cnt >= n_best)
+        (best, next_y, prev_k, adv, fin_cnt, fin_score, fin_t, fin_k,
+         eos_top) = advance(logp, state.scores, state.prev, state.adv,
+                            state.fin_cnt, state.fin_score, state.fin_t,
+                            state.fin_k, state.eos_top)
+        d1 = done[:, None]
+        new_state = BeamState(
+            scores=jnp.where(d1, state.scores, best),
+            prev=jnp.where(d1, state.prev, next_y),
+            h=state.h,
+            adv=jnp.where(done, state.adv, adv),
+            eos_top=jnp.where(done, state.eos_top, eos_top),
+            fin_cnt=jnp.where(done, state.fin_cnt, fin_cnt),
+            fin_score=jnp.where(d1, state.fin_score, fin_score),
+            fin_t=jnp.where(d1, state.fin_t, fin_t),
+            fin_k=jnp.where(d1, state.fin_k, fin_k),
+        )
+        ys_emit = jnp.where(d1, jnp.full_like(next_y, PAD_IDX), next_y)
+        ptr_emit = jnp.where(d1, jnp.zeros_like(prev_k), prev_k)
+        return new_state, (ys_emit, ptr_emit)
+
+    state, (ys_steps, ptr_steps) = jax.lax.scan(step, state, logits_tm)
+    ys = jnp.swapaxes(jnp.concatenate([prev0[None], ys_steps], axis=0),
+                      0, 1)
+    ptrs = jnp.swapaxes(ptr_steps, 0, 1)
+    finalize = jax.vmap(partial(_finalize_one, K=K, F=F, n_best=n_best,
+                                T=T))
+    return finalize(ys, ptrs, state.scores, state.adv, state.fin_cnt,
+                    state.fin_score, state.fin_t, state.fin_k)

@@ -101,3 +101,60 @@ def sample_sentences(model, params, key, z, c,
             soft_seq = jnp.concatenate([start_row, soft_seq], axis=1)
         return seq, soft_seq
     return seq
+
+
+@partial(jax.jit, static_argnames=("sample_mode", "prepend_start_idx",
+                                   "prevent_empty"))
+def sample_from_logits(key, all_logits, sample_mode="categorical",
+                       temp=1.0, prepend_start_idx=True,
+                       prevent_empty=False):
+    """Generation over PRECOMPUTED per-step logits [B, T, V] — the deconv
+    decoder's cached-logits replay contract (reference decoder.py:268-271,
+    316-323: forward_sample ignores the fed-back tokens and replays its
+    cache pointer-wise). Same mode/EOS-masking semantics as
+    sample_sentences."""
+    soft = sample_mode in SOFT_MODES
+    assert sample_mode in HARD_MODES + SOFT_MODES, sample_mode
+    assert not (soft and prevent_empty)
+    B, T, V = all_logits.shape
+    tok0 = jnp.full((B,), START_IDX, jnp.int32)
+    finished0 = jnp.zeros((B,), bool)
+
+    def step(carry, inp):
+        tok, finished = carry
+        key_t, i, logits = inp
+        if prevent_empty:
+            large_neg = -2.0 * jnp.abs(jnp.min(logits))
+            masked = logits
+            for ix in (PAD_IDX, START_IDX, EOS_IDX):
+                masked = masked.at[:, ix].set(large_neg)
+            logits = jnp.where(i == 0, masked, logits)
+        new_tok = tok
+        new_soft = None
+        if sample_mode in ("categorical", "categorical_softmax"):
+            new_tok = jax.random.categorical(key_t, logits / temp, axis=1)
+        elif sample_mode in ("greedy", "greedy_softmax"):
+            new_tok = jnp.argmax(logits, axis=1)
+        if soft:
+            new_soft = jax.nn.softmax(logits / temp, axis=1)
+        new_tok = jnp.where(finished, PAD_IDX, new_tok.astype(jnp.int32))
+        finished = finished | (new_tok == EOS_IDX)
+        if soft:
+            new_soft = jnp.where(finished[:, None], 0.0, new_soft)
+            return (new_tok, finished), (new_tok, new_soft)
+        return (new_tok, finished), (new_tok,)
+
+    keys = jax.random.split(key, T)
+    logits_tm = jnp.swapaxes(all_logits, 0, 1)
+    _, outs = jax.lax.scan(step, (tok0, finished0),
+                           (keys, jnp.arange(T), logits_tm))
+    seq = jnp.swapaxes(outs[0], 0, 1)
+    if prepend_start_idx:
+        seq = jnp.concatenate([tok0[:, None], seq], axis=1)
+    if soft:
+        soft_seq = jnp.swapaxes(outs[1], 0, 1)
+        if prepend_start_idx:
+            start_row = jax.nn.one_hot(tok0, V)[:, None, :]
+            soft_seq = jnp.concatenate([start_row, soft_seq], axis=1)
+        return seq, soft_seq
+    return seq

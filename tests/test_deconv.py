@@ -1,0 +1,107 @@
+"""Deconv (non-autoregressive) decoder: shapes, training, replay paths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from controlled_peptide_generation_tpu import config as C
+from controlled_peptide_generation_tpu.models import build_model
+from controlled_peptide_generation_tpu.generation import generate_sentences
+from controlled_peptide_generation_tpu.ops import losses as L
+from controlled_peptide_generation_tpu.ops.sampling import sample_from_logits
+from controlled_peptide_generation_tpu.ops.beam import beam_search_logits
+from controlled_peptide_generation_tpu.data.vocab import (
+    PAD_IDX, START_IDX, EOS_IDX)
+
+
+@pytest.fixture(scope="module")
+def deconv_model():
+    cfg = C.default_config()
+    cfg.model.z_dim = 16
+    cfg.model.emb_dim = 20
+    cfg.model.E_args.h_dim = 10
+    cfg.model.G_args.G_class = "deconv"
+    cfg.model.G_args.deconv_args.num_filters = 24
+    model = build_model(cfg.model, n_vocab=14, max_seq_len=25)
+    params = model.init_params(jax.random.PRNGKey(0))
+    return model, params
+
+
+def test_deconv_logits_shape(deconv_model):
+    model, params = deconv_model
+    key = jax.random.PRNGKey(1)
+    z = model.sample_z_prior(key, 6)
+    c = model.sample_c_prior(key, 6)
+    logits = model.decode_logits(params, z, c)
+    # reference stack emits exactly max_seq_len rows at these sizes
+    assert logits.shape == (6, 25, 14)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_deconv_forward_and_loss_grad(deconv_model):
+    model, params = deconv_model
+    key = jax.random.PRNGKey(2)
+    toks = jax.random.randint(key, (4, 25), 4, 14).astype(jnp.int32)
+    toks = toks.at[:, 0].set(START_IDX).at[:, 10].set(EOS_IDX)
+    toks = toks.at[:, 11:].set(PAD_IDX)
+
+    def loss(params):
+        _, _, logits = model.forward(params, key, toks, q_c="prior")
+        return L.recon_dec(toks, logits)
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    gnorm = sum(float(jnp.sum(g ** 2))
+                for g in jax.tree_util.tree_leaves(grads["dec"]))
+    assert gnorm > 0  # deconv decoder receives gradient
+
+
+def test_deconv_generation_paths(deconv_model):
+    model, params = deconv_model
+    key = jax.random.PRNGKey(3)
+    for mode in ("greedy", "categorical"):
+        seqs, z, c_ix = generate_sentences(model, params, key, 5,
+                                           sample_mode=mode)
+        seqs = np.asarray(seqs)
+        assert seqs.shape == (5, 26)
+        assert (seqs[:, 0] == START_IDX).all()
+    hyps, z, c_ix = generate_sentences(model, params, key, 5,
+                                       sample_mode="beam", beam_size=4,
+                                       n_best=2)
+    assert np.asarray(hyps).shape == (5, 2, 26)
+
+
+def test_sample_from_logits_eos_masking():
+    key = jax.random.PRNGKey(4)
+    B, T, V = 3, 6, 10
+    logits = np.full((B, T, V), -10.0, np.float32)
+    logits[:, :, 5] = 10.0           # always prefer token 5
+    logits[0, 2, EOS_IDX] = 20.0     # row 0 hits EOS at t=2
+    seq = np.asarray(sample_from_logits(key, jnp.asarray(logits),
+                                        sample_mode="greedy"))
+    assert (seq[0, 1:3] == 5).all()
+    assert seq[0, 3] == EOS_IDX
+    assert (seq[0, 4:] == PAD_IDX).all()
+    assert (seq[1:, 1:] == 5).all()
+
+
+def test_beam_search_logits_greedy_agreement():
+    """With a deterministic argmax path, beam top-1 == greedy decode."""
+    key = jax.random.PRNGKey(5)
+    B, T, V = 4, 8, 12
+    logits = jax.random.normal(key, (B, T, V)) * 3.0
+    greedy = np.asarray(sample_from_logits(key, logits,
+                                           sample_mode="greedy"))
+    hyps, scores = beam_search_logits(logits, beam_size=4, n_best=1)
+    top1 = np.asarray(hyps)[:, 0, :]
+    for b in range(B):
+        g = greedy[b]
+        h = top1[b]
+        # compare up to first EOS in greedy (beam blocks START/EOS rules
+        # identically; same-logits-per-beam makes argmax chain optimal
+        # stepwise but beam may find higher-score full paths; at spread
+        # logits they coincide)
+        eos = np.where(g == EOS_IDX)[0]
+        upto = eos[0] + 1 if len(eos) else T + 1
+        assert (g[:upto] == h[:upto]).mean() > 0.7
