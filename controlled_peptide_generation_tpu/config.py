@@ -293,6 +293,7 @@ def default_config():
         donate_state=True,    # donate train-state buffers to the jitted step
         unroll=10,            # optimizer steps per device dispatch (train)
         fused_rounds=True,    # CLaSS: rejection+decode fused into one jit
+        profile_dir="",       # non-empty: jax.profiler trace of hot loops
     )
 
     # dataset switch (cfg.py:304-372)

@@ -15,6 +15,7 @@ import datetime
 import json
 import logging
 import os
+import time
 from collections import OrderedDict
 
 import jax
@@ -271,6 +272,7 @@ def run(cfg, args):
 
     samples = pd.DataFrame(columns=["peptide"])
     round_ix = 0
+    t_sampling = time.perf_counter()
 
     def is_finished(df, min_accepted):
         return not (len(df) < min_accepted
@@ -296,4 +298,9 @@ def run(cfg, args):
                  samples["accept"].sum(), len(samples),
                  100.0 * samples["accept"].sum() / len(samples))
 
+    dt = time.perf_counter() - t_sampling
+    LOG.info("CLaSS throughput: %.1f accepted samples/sec "
+             "(%d accepted, %d candidates, %.2fs)",
+             samples["accept"].sum() / max(dt, 1e-9),
+             int(samples["accept"].sum()), len(samples), dt)
     return save_samples(samples, cfg.savepath, args.samples_outfn_prefix)

@@ -201,6 +201,12 @@ def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
     logger = logger or tblog._default_logger
     t_start, it_start = time.time(), cfgv.s_iter
     log.info("Training base vae ...")
+    import contextlib
+    from ..utils.profiling import trace
+    profile_stack = contextlib.ExitStack()
+    profile_stack.enter_context(
+        trace(cfg.hw.get("profile_dir", ""),
+              enabled=bool(cfg.hw.get("profile_dir", ""))))
     it = cfgv.s_iter
     end_it = cfgv.s_iter + cfgv.n_iter
     while it <= end_it:
@@ -250,6 +256,9 @@ def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
         it += 1
 
     jax.block_until_ready(params)
+    profile_stack.close()
     steps_per_sec = (cfgv.n_iter + 1 - (it_start - cfgv.s_iter)) / max(
         time.time() - t_start, 1e-9)
+    if logger is not None:
+        logger.log_value("train_steps_per_sec", steps_per_sec, end_it)
     return params, opt_state, steps_per_sec

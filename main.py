@@ -23,6 +23,7 @@ from controlled_peptide_generation_tpu.data import AttributeDataLoader  # noqa: 
 from controlled_peptide_generation_tpu.data import synthetic  # noqa: E402
 from controlled_peptide_generation_tpu.models import build_model  # noqa: E402
 from controlled_peptide_generation_tpu.train import train_vae, checkpoints  # noqa: E402
+from controlled_peptide_generation_tpu.train.train_full import train_full  # noqa: E402
 from controlled_peptide_generation_tpu.generation import generate_sentences  # noqa: E402
 from controlled_peptide_generation_tpu.utils import logging as tblog  # noqa: E402
 from controlled_peptide_generation_tpu.utils.io import write_gen_samples  # noqa: E402
@@ -76,6 +77,22 @@ def main(argv=None):
         write_gen_samples(
             dataset.idx2sentences(np.asarray(samples), False),
             cfg.vae.gen_samples_path)
+
+    if cfg.phase in (2, -1):
+        # phase-2 controlled-generation training. When running phase 2
+        # standalone, finalize() resolved loadpath to the phase-1
+        # checkpoint; with phase=-1 the trained params carry over directly
+        if cfg.phase == -1:
+            cfg.loadpath = ""
+        params, steps_per_sec = train_full(cfg, model, dataset, params,
+                                           logger)
+        log.info("full-phase throughput: %.2f steps/sec", steps_per_sec)
+        samples, _, c_ix = generate_sentences(
+            model, params, jax.random.PRNGKey(cfg.seed + 2),
+            cfg.evals.sample_size, sample_mode="categorical")
+        write_gen_samples(
+            dataset.idx2sentences(np.asarray(samples), False),
+            cfg.full.gen_samples_path, c_lab=np.asarray(c_ix))
 
     log.info("saving result.json and vae_result.json at %s", cfg.savepath)
     logger.export_to_json(pjoin(cfg.savepath, "result.json"))

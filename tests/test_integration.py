@@ -22,6 +22,7 @@ from controlled_peptide_generation_tpu.vis import build_index, covar, kde
 def trained_run(tmp_path_factory):
     base = tmp_path_factory.mktemp("e2e")
     argv = ["--tiny", "1", "--dataset", "synthetic", "--runname", "e2e",
+            "--phase", "1",
             "--savepath_toplevel", str(base / "out"),
             "--tb_toplevel", str(base / "tb"),
             "--datapath", str(base / "data")]

@@ -1,0 +1,117 @@
+"""Phase-2 controlled-generation trainer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from controlled_peptide_generation_tpu import config as C
+from controlled_peptide_generation_tpu.models import build_model
+from controlled_peptide_generation_tpu.ops import losses as L
+from controlled_peptide_generation_tpu.train.train_full import (
+    make_full_step)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = C.default_config()
+    cfg.full.update(cfg.shared)
+    cfg.full.s_iter = 0
+    cfg.full.beta.start.iter = 0
+    cfg.full.beta.end.iter = 10
+    cfg.full.softmax_temp.start.iter = 0
+    cfg.full.softmax_temp.end.iter = 10
+    cfg.model.z_dim = 12
+    cfg.model.emb_dim = 10
+    cfg.model.E_args.h_dim = 8
+    model = build_model(cfg.model, n_vocab=14, max_seq_len=10)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rf = L.init_rf_basis(jax.random.PRNGKey(1), model.z_dim,
+                         cfg.losses.wae_mmd.rf_dim)
+    return cfg, model, params, rf
+
+
+def make_batch(key, B, V=14, T=10, sep=True):
+    """Labeled toy data: class 1 = tokens from {4..8}, class 0 = {9..13}."""
+    ky, kt = jax.random.split(key)
+    y = jax.random.bernoulli(ky, 0.5, (B,)).astype(jnp.int32)
+    lo = jnp.where(y == 1, 4, 9)[:, None]
+    toks = lo + jax.random.randint(kt, (B, T), 0, 5)
+    toks = toks.at[:, 0].set(2).at[:, T - 1].set(3)
+    return toks.astype(jnp.int32), y
+
+
+def test_full_step_runs_and_learns(setup):
+    cfg, model, params, rf = setup
+    step, opts = make_full_step(model, cfg.full, cfg.losses, rf,
+                                donate=False)
+    oE, oG, oC = (o.init(params) for o in opts)
+    key = jax.random.PRNGKey(2)
+
+    accs, sups, attr_cs = [], [], []
+    p = params
+    for it in range(60):
+        k = jax.random.fold_in(key, it)
+        text, _ = make_batch(jax.random.fold_in(k, 1), 8)
+        lab_text, lab_y = make_batch(jax.random.fold_in(k, 2), 8)
+        p, oE, oG, oC, m = step(p, oE, oG, oC, k, text, lab_text, lab_y,
+                                jnp.asarray(it, jnp.int32))
+        accs.append(float(m["clf_acc"]))
+        sups.append(float(m["L_clf_sup"]))
+        attr_cs.append(float(m["L_attr_c"]))
+
+    # classifier learns the separable toy attribute
+    assert np.mean(accs[-10:]) > 0.9, np.mean(accs[-10:])
+    assert np.mean(sups[-10:]) < np.mean(sups[:10])
+    # attr losses stay finite (adversarial dynamics aren't monotone at
+    # this horizon; the gradient path is checked mechanically below)
+    assert np.isfinite(attr_cs).all()
+    # all parameter groups moved
+    for group in ("emb", "enc", "dec", "clf"):
+        d = sum(float(jnp.sum((a - b) ** 2)) for a, b in zip(
+            jax.tree_util.tree_leaves(params[group]),
+            jax.tree_util.tree_leaves(p[group])))
+        assert d > 0, group
+
+
+def test_g_attr_gradient_flows_through_soft_feedback(setup):
+    """The attribute loss must reach the DECODER through the soft-sample
+    feedback chain (softmax -> soft_embed -> classifier/encoder)."""
+    cfg, model, params, rf = setup
+    from controlled_peptide_generation_tpu.ops import sampling
+
+    def attr_loss(dec_params):
+        p = dict(params)
+        p["dec"] = dec_params
+        key = jax.random.PRNGKey(5)
+        z = model.sample_z_prior(key, 6)
+        c = model.sample_c_prior(key, 6)
+        _, soft = sampling.sample_sentences(model, p, key, z, c,
+                                            sample_mode="none_softmax")
+        logits = model.classify(p, soft)
+        logp = jax.nn.log_softmax(logits, axis=1)
+        target = jnp.argmax(c, axis=1)
+        return -jnp.mean(jnp.take_along_axis(logp, target[:, None], axis=1))
+
+    grads = jax.grad(attr_loss)(params["dec"])
+    gnorm = sum(float(jnp.sum(g ** 2))
+                for g in jax.tree_util.tree_leaves(grads))
+    assert gnorm > 0
+
+
+def test_full_phase_cli(tmp_path):
+    """main.py --phase -1 runs phase 1 then phase 2 end to end (tiny)."""
+    import main as main_mod
+    argv = ["--tiny", "1", "--dataset", "synthetic", "--runname", "ph2",
+            "--phase", "-1",
+            "--full.n_iter", "30", "--full.cheaplog_every", "10",
+            "--full.expsvlog_every", "30",
+            "--savepath_toplevel", str(tmp_path / "out"),
+            "--tb_toplevel", str(tmp_path / "tb"),
+            "--datapath", str(tmp_path / "data")]
+    cfg = main_mod.main(argv)
+    import os
+    assert os.path.exists(cfg.full.gen_samples_path)
+    with open(cfg.full.gen_samples_path) as fh:
+        content = fh.read()
+    assert "label:" in content   # labeled sample lines
