@@ -99,12 +99,20 @@ class AttributeDataLoader:
             self.vocab = Vocab.build(t.split() for t in train_texts)
         self.n_vocab = len(self.vocab)
 
-        # pre-tokenize the whole corpus once: (N, max_seq_len) int32
-        self.tokens = np.full((len(self.df), max_seq_len), PAD_IDX,
-                              dtype=np.int32)
-        for row, text in enumerate(self.df.text.to_numpy()):
-            ixs = self.vocab.to_ix(text, fix_length=max_seq_len)
-            self.tokens[row] = ixs
+        # pre-tokenize the whole corpus once: (N, max_seq_len) int32.
+        # The native C tokenizer is ~30x faster on large corpora and
+        # byte-identical; the Python path is the always-available fallback
+        texts = self.df.text.to_numpy()
+        try:
+            from ..native import tokenize_corpus
+            self.tokens = tokenize_corpus(list(texts), self.vocab.stoi,
+                                          max_seq_len)
+        except ImportError:
+            self.tokens = np.full((len(self.df), max_seq_len), PAD_IDX,
+                                  dtype=np.int32)
+            for row, text in enumerate(texts):
+                self.tokens[row] = self.vocab.to_ix(text,
+                                                    fix_length=max_seq_len)
         # integer labels per attribute: (N,) int64, 'na' -> mapped default
         self.labels = {}
         for name, mapping in self.attributes:
