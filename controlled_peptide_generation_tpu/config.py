@@ -287,13 +287,13 @@ def default_config():
 
     # TPU execution knobs (new in the rebuild; no reference counterpart)
     cfg.hw = Bunch(
-        dp=0,                 # data-parallel devices; 0 = all visible devices
+        dp=1,                 # data-parallel devices; 0 = all visible
         mesh_axis="data",
-        bf16_compute=False,   # cast GRU matmuls to bfloat16 (MXU-native)
         donate_state=True,    # donate train-state buffers to the jitted step
         unroll=10,            # optimizer steps per device dispatch (train)
         fused_rounds=True,    # CLaSS: rejection+decode fused into one jit
         profile_dir="",       # non-empty: jax.profiler trace of hot loops
+        heldout_eval=True,    # heldout recon/KL at checkpoint boundaries
     )
 
     # dataset switch (cfg.py:304-372)

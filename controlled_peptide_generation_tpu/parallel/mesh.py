@@ -25,6 +25,25 @@ from ..ops import losses as L
 from ..utils.annealing import anneal
 
 
+def initialize_multihost(coordinator_address=None, num_processes=None,
+                         process_id=None):
+    """Multi-host (DCN) initialization hook: jax.distributed.initialize.
+
+    On a multi-host TPU slice, call this once per process before building
+    meshes; jax.devices() then spans all hosts and the same DP code runs
+    with gradient psums over ICI within a slice and DCN across slices. On
+    single-host setups it is a no-op. No custom communication backend
+    exists or is needed (SURVEY.md §5.8)."""
+    import jax
+
+    if num_processes in (None, 0, 1):
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
 def get_mesh(n_devices=None, axis="data", devices=None):
     devices = devices if devices is not None else jax.devices()
     n = n_devices or len(devices)
@@ -78,8 +97,14 @@ def make_dp_train_step(model, cfgv, cfg_losses, rf_basis, mesh,
         loss = (recon + beta * z_regu
                 + cfgv.lambda_logvar_L1 * z_logvar_L1
                 + cfgv.lambda_logvar_KL * z_logvar_KL)
-        return loss, {"L_vae": loss, "L_vae_recon": recon, "L_vae_kl": kl,
-                      "L_wae_mmd": mmd, "L_wae_mmdrf": mmdrf}
+        return loss, {
+            "z_mu_L1": jnp.mean(jnp.abs(mu)),
+            "z_logvar": jnp.mean(logvar),
+            "z_logvar_L1": z_logvar_L1,
+            "z_logvar_KL_penalty": z_logvar_KL,
+            "L_vae": loss, "L_vae_recon": recon, "L_vae_kl": kl,
+            "L_wae_mmd": mmd, "L_wae_mmdrf": mmdrf,
+        }
 
     @partial(jax.jit,
              in_shardings=(repl, repl, repl, batch_sh, repl),
@@ -90,6 +115,7 @@ def make_dp_train_step(model, cfgv, cfg_losses, rf_basis, mesh,
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
             params, key, text, beta)
         metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["beta"] = beta
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics

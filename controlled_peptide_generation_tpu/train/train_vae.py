@@ -161,6 +161,38 @@ def make_train_scan(model, cfgv, cfg_losses, rf_basis, unroll, donate=True):
     return train_chunk, optimizer
 
 
+_heldout_fns = {}
+
+
+def _heldout_fn(model):
+    """Per-model cached jitted heldout evaluator."""
+    fn = _heldout_fns.get(id(model))
+    if fn is None:
+        @jax.jit
+        def fn(params, key, text):
+            (mu, lv), _, logits = model.forward(
+                params, key, text, q_c="prior", sample_z=1, train=False)
+            return L.recon_dec(text, logits), L.kl_gaussianprior(mu, lv)
+        _heldout_fns[id(model)] = fn
+    return fn
+
+
+def evaluate_heldout(model, params, dataset, key, n_batches=4,
+                     iterator="hld_vae"):
+    """Mean heldout recon/KL over a few val batches — the expensive-eval
+    hook the reference's train loop truncates (train_vae.py:64-68)."""
+    if iterator not in getattr(dataset, "_iters", {}):
+        return None
+    fn = _heldout_fn(model)
+    recons, kls = [], []
+    for i in range(n_batches):
+        b = dataset.next_batch(iterator)
+        r, k = fn(params, jax.random.fold_in(key, i), jnp.asarray(b.text))
+        recons.append(float(r))
+        kls.append(float(k))
+    return {"recon": float(np.mean(recons)), "kl": float(np.mean(kls))}
+
+
 def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
     """Run the phase-1 loop. Returns (params, opt_state, steps_per_sec)."""
     cfgv = cfg.vae
@@ -172,8 +204,25 @@ def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
         rf_basis = L.init_rf_basis(k_rf, model.z_dim,
                                    cfg.losses.wae_mmd.rf_dim)
 
-    train_step, optimizer = make_train_step(
-        model, cfgv, cfg.losses, rf_basis, donate=cfg.hw.donate_state)
+    # data parallelism over a device mesh when hw.dp != 1 (0 = all devices)
+    n_dp = int(cfg.hw.get("dp", 1))
+    if n_dp == 0:
+        n_dp = len(jax.devices())
+    mesh = None
+    if n_dp > 1:
+        from .. import parallel
+        assert cfgv.batch_size % n_dp == 0, (
+            f"batch_size {cfgv.batch_size} must divide over {n_dp} devices")
+        mesh = parallel.get_mesh(n_dp, cfg.hw.get("mesh_axis", "data"))
+        train_step, optimizer = parallel.make_dp_train_step(
+            model, cfgv, cfg.losses,
+            rf_basis if rf_basis is not None else L.init_rf_basis(
+                k_rf, model.z_dim, cfg.losses.wae_mmd.rf_dim),
+            mesh, donate=cfg.hw.donate_state)
+        log.info("data-parallel training over %d devices", n_dp)
+    else:
+        train_step, optimizer = make_train_step(
+            model, cfgv, cfg.losses, rf_basis, donate=cfg.hw.donate_state)
     opt_state = optimizer.init(params)
 
     # resume full train state (incl. Adam moments) when a checkpoint exists
@@ -182,12 +231,23 @@ def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
         state = checkpoints.load(cfg.loadpath, state_tpl, strict=False)
         params, opt_state = state["params"], state["opt"]
         log.info("Loaded train state from %s", cfg.loadpath)
+    if mesh is not None:
+        from .. import parallel
+        params = parallel.replicate(mesh, params)
+        opt_state = parallel.replicate(mesh, opt_state)
+
+    def place_batch(text):
+        if mesh is None:
+            return jnp.asarray(text)
+        from .. import parallel
+        return parallel.shard_batch(mesh, jnp.asarray(text),
+                                    cfg.hw.get("mesh_axis", "data"))
 
     # multi-step unroll: run `unroll` optimizer steps per device dispatch
     # between host/logging boundaries
     unroll = int(cfg.hw.get("unroll", 1) or 1)
-    if rf_basis is None:
-        unroll = 1   # rf_resample=True needs the per-step basis key
+    if rf_basis is None or mesh is not None:
+        unroll = 1   # per-step basis resampling / DP path: no chunking yet
     if unroll > 1:
         train_chunk, _ = make_train_scan(model, cfgv, cfg.losses, rf_basis,
                                          unroll,
@@ -224,7 +284,7 @@ def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
         batch = dataset.next_batch("train_vae")
         params, opt_state, metrics = train_step(
             params, opt_state, jax.random.fold_in(k_steps, it),
-            jnp.asarray(batch.text), jnp.asarray(it, jnp.int32))
+            place_batch(batch.text), jnp.asarray(it, jnp.int32))
 
         cheap = it % cfgv.cheaplog_every == 0
         expsv = it % cfgv.expsvlog_every == 0
@@ -251,6 +311,16 @@ def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
                      "step": jnp.asarray(it)}
             checkpoints.save(cfgv.chkpt_path.format(it), state)
             log.info("Saved model to %s", cfgv.chkpt_path.format(it))
+            if cfg.hw.get("heldout_eval", True):
+                hld = evaluate_heldout(model, params, dataset,
+                                       jax.random.fold_in(k_steps,
+                                                          2**30 + it))
+                if hld is not None:
+                    for k, v in hld.items():
+                        if logger is not None:
+                            logger.log_value("hld_" + k, v, it)
+                    log.info("HELDOUT recon: %.4f kl: %.4f",
+                             hld["recon"], hld["kl"])
             if on_checkpoint is not None:
                 on_checkpoint(it, params)
         it += 1
