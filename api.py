@@ -13,6 +13,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from controlled_peptide_generation_tpu import config as C  # noqa: E402
+from controlled_peptide_generation_tpu.utils import runtime as _rt  # noqa: E402
+_rt.setup()
 from controlled_peptide_generation_tpu.api import (  # noqa: E402
     load_trained_model, load_vocab, get_model_and_vocab_path)
 

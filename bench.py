@@ -178,6 +178,9 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
 
+    from controlled_peptide_generation_tpu.utils import runtime
+    runtime.setup()
+
     import jax
     log(f"devices: {jax.devices()}")
     cfg, model, params = build()

@@ -19,6 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax  # noqa: E402
 
 from controlled_peptide_generation_tpu import config as C  # noqa: E402
+from controlled_peptide_generation_tpu.utils import runtime as _rt  # noqa: E402
+_rt.setup()
 from controlled_peptide_generation_tpu.data import AttributeDataLoader  # noqa: E402
 from controlled_peptide_generation_tpu.data import synthetic  # noqa: E402
 from controlled_peptide_generation_tpu.models import build_model  # noqa: E402

@@ -15,6 +15,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from controlled_peptide_generation_tpu import config as C  # noqa: E402
+from controlled_peptide_generation_tpu.utils import runtime as _rt  # noqa: E402
+_rt.setup()
 from controlled_peptide_generation_tpu import pipeline  # noqa: E402
 
 logging.basicConfig(

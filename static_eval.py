@@ -17,6 +17,8 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 
 from controlled_peptide_generation_tpu import config as C  # noqa: E402
+from controlled_peptide_generation_tpu.utils import runtime as _rt  # noqa: E402
+_rt.setup()
 from controlled_peptide_generation_tpu.api import (  # noqa: E402
     load_trained_model, load_vocab, generate_interpolated_samples,
     interpolate_peptides, recon_sequence, sample_from_model,
