@@ -118,8 +118,7 @@ def make_full_step(model, cfgf, cfg_losses, rf_basis, donate=True):
         return {k: (g if k in keep else jax.tree.map(jnp.zeros_like, g))
                 for k, g in grads.items()}
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2, 3) if donate else ())
-    def full_step(params, oE, oG, oC, key, text, lab_text, lab_y, it):
+    def one_iter(params, oE, oG, oC, key, text, lab_text, lab_y, it):
         itf = it.astype(jnp.float32)
         beta = anneal(cfgf.beta, itf)
         temp = anneal(cfgf.softmax_temp, itf)
@@ -149,7 +148,37 @@ def make_full_step(model, cfgf, cfg_losses, rf_basis, donate=True):
         metrics = {**m1, **m2, **m3, "beta": beta, "softmax_temp": temp}
         return params, oE, oG, oC, metrics
 
-    return full_step, (opt_E, opt_G, opt_C)
+    full_step = partial(jax.jit, donate_argnums=(0, 1, 2, 3) if donate
+                        else ())(one_iter)
+    return full_step, (opt_E, opt_G, opt_C), one_iter
+
+
+def make_full_scan(model, cfgf, cfg_losses, rf_basis, unroll, donate=True):
+    """`unroll` phase-2 iterations in ONE jitted program (same dispatch-
+    latency rationale as train_vae.make_train_scan; RNG streams identical
+    to the step-by-step path)."""
+    _, opts, one_iter = make_full_step(model, cfgf, cfg_losses, rf_basis,
+                                       donate=False)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3) if donate else ())
+    def full_chunk(params, oE, oG, oC, key, texts, lab_texts, lab_ys, it0):
+        def body(carry, inp):
+            params, oE, oG, oC = carry
+            text, lab_text, lab_y, i = inp
+            it = it0 + i
+            params, oE, oG, oC, metrics = one_iter(
+                params, oE, oG, oC, jax.random.fold_in(key, it),
+                text, lab_text, lab_y, it)
+            return (params, oE, oG, oC), metrics
+
+        (params, oE, oG, oC), metrics = jax.lax.scan(
+            body, (params, oE, oG, oC),
+            (texts, lab_texts, lab_ys,
+             jnp.arange(unroll, dtype=jnp.int32)))
+        last = jax.tree.map(lambda m: m[-1], metrics)
+        return params, oE, oG, oC, last
+
+    return full_chunk, opts
 
 
 def train_full(cfg, model, dataset, params, logger=None,
@@ -160,9 +189,14 @@ def train_full(cfg, model, dataset, params, logger=None,
     k_rf, k_steps = jax.random.split(key)
     rf_basis = L.init_rf_basis(k_rf, model.z_dim, cfg.losses.wae_mmd.rf_dim)
 
-    full_step, opts = make_full_step(model, cfgf, cfg.losses, rf_basis,
-                                     donate=cfg.hw.donate_state)
+    full_step, opts, _ = make_full_step(model, cfgf, cfg.losses, rf_basis,
+                                        donate=cfg.hw.donate_state)
     oE, oG, oC = (o.init(params) for o in opts)
+
+    unroll = int(cfg.hw.get("unroll", 1) or 1)
+    if unroll > 1:
+        full_chunk, _ = make_full_scan(model, cfgf, cfg.losses, rf_basis,
+                                       unroll, donate=cfg.hw.donate_state)
 
     if cfg.loadpath:
         params = checkpoints.load(cfg.loadpath, {"params": params},
@@ -174,7 +208,33 @@ def train_full(cfg, model, dataset, params, logger=None,
     t_start = time.time()
     log.info("Training full (controlled-generation) phase ...")
     n_done = 0
-    for it in range(cfgf.s_iter, cfgf.s_iter + cfgf.n_iter + 1):
+
+    def needs_host(j):
+        return (j % cfgf.cheaplog_every == 0
+                or j % cfgf.expsvlog_every == 0)
+
+    it = cfgf.s_iter
+    end_it = cfgf.s_iter + cfgf.n_iter
+    while it <= end_it:
+        # unrolled chunk whenever no step inside it needs the host; RNG
+        # streams and batch order identical to the step-by-step path
+        if (unroll > 1 and it + unroll - 1 <= end_it
+                and not any(needs_host(it + j) for j in range(unroll))):
+            texts, lab_texts, lab_ys = [], [], []
+            for _ in range(unroll):
+                texts.append(dataset.next_batch("train_vae").text)
+                lab = dataset.next_batch(lab_iterator)
+                lab_texts.append(lab.text)
+                lab_ys.append(np.maximum(getattr(lab, attr_name), 0))
+            params, oE, oG, oC, metrics = full_chunk(
+                params, oE, oG, oC, k_steps,
+                jnp.asarray(np.stack(texts)),
+                jnp.asarray(np.stack(lab_texts)),
+                jnp.asarray(np.stack(lab_ys)),
+                jnp.asarray(it, jnp.int32))
+            n_done += unroll
+            it += unroll
+            continue
         batch = dataset.next_batch("train_vae")
         lab = dataset.next_batch(lab_iterator)
         lab_y = np.maximum(getattr(lab, attr_name), 0)
@@ -199,6 +259,7 @@ def train_full(cfg, model, dataset, params, logger=None,
             checkpoints.save(cfgf.chkpt_path.format(it),
                              {"params": params, "step": jnp.asarray(it)})
             log.info("Saved model to %s", cfgf.chkpt_path.format(it))
+        it += 1
 
     jax.block_until_ready(params)
     return params, n_done / max(time.time() - t_start, 1e-9)

@@ -28,7 +28,9 @@ from controlled_peptide_generation_tpu.train import train_vae, checkpoints  # no
 from controlled_peptide_generation_tpu.train.train_full import train_full  # noqa: E402
 from controlled_peptide_generation_tpu.generation import generate_sentences  # noqa: E402
 from controlled_peptide_generation_tpu.utils import logging as tblog  # noqa: E402
-from controlled_peptide_generation_tpu.utils.io import write_gen_samples  # noqa: E402
+from controlled_peptide_generation_tpu.utils.io import (  # noqa: E402
+    write_gen_samples, write_fasta)
+from controlled_peptide_generation_tpu.api import interpolate_z  # noqa: E402
 
 logging.basicConfig(
     level=logging.INFO,
@@ -42,6 +44,68 @@ def load_dataset(cfg):
         synthetic.ensure(spec["data_path"])
     return AttributeDataLoader(mbsize=cfg.vae.batch_size,
                                max_seq_len=cfg.max_seq_len, **spec)
+
+
+def write_phase2_artifacts(cfg, model, params, dataset, n=32):
+    """Controlled-generation artifact battery at the cfg.full result paths
+    (the reference defines these filenames, cfg.py:130-134, but its released
+    code never reaches phase 2 to write them):
+
+    * samez: the SAME latent decoded under c=0 vs c=1 — attribute control;
+    * posz: decodes of encoder means of amp-positive training rows;
+    * interp: tanh interpolation between two prior latents;
+    * fasta for the generated and positive-conditioned samples.
+    """
+    import jax.numpy as jnp
+    key = jax.random.PRNGKey(cfg.seed + 3)
+
+    # same z, both attribute codes
+    z = model.sample_z_prior(jax.random.fold_in(key, 0), n)
+    lines = []
+    for c_val in (0, 1):
+        c = np.zeros((n, model.c_dim), np.float32)
+        c[:, c_val] = 1.0
+        seqs, _, _ = generate_sentences(model, params,
+                                        jax.random.fold_in(key, 1 + c_val),
+                                        n, z=z, c=jnp.asarray(c),
+                                        sample_mode="greedy")
+        sents = dataset.idx2sentences(np.asarray(seqs), False)
+        lines.extend(f"c={c_val}: {s}" for s in sents)
+    write_gen_samples(lines, cfg.full.samez_samples_path)
+
+    # decodes of amp-positive encoder means
+    pos_ix = dataset.get_subset_indices("amp=amp_posc,amp_posnc")
+    if len(pos_ix):
+        batch = dataset._make_batch(pos_ix[:n])
+        mu, _ = model.encode(params, jnp.asarray(batch.text))
+        seqs, _, _ = generate_sentences(model, params,
+                                        jax.random.fold_in(key, 5),
+                                        mu.shape[0], z=mu,
+                                        sample_mode="greedy")
+        sents = dataset.idx2sentences(np.asarray(seqs), False)
+        write_gen_samples(sents, cfg.full.posz_samples_path)
+        write_fasta(sents, cfg.full.fasta_pos_samples_path)
+
+    # interpolation between two prior latents
+    za = model.sample_z_prior(jax.random.fold_in(key, 6), 1)
+    zb = model.sample_z_prior(jax.random.fold_in(key, 7), 1)
+    z_list, weights = interpolate_z(za, zb, method="tanh", n_samples=9)
+    seqs, _, _ = generate_sentences(model, params,
+                                    jax.random.fold_in(key, 8),
+                                    z_list.shape[0],
+                                    z=jnp.asarray(z_list, jnp.float32),
+                                    sample_mode="greedy")
+    sents = dataset.idx2sentences(np.asarray(seqs), False)
+    write_gen_samples([f"w={w:.2f}: {s}" for w, s in zip(weights, sents)],
+                      cfg.full.interp_samples_path)
+
+    gen_sents = None
+    if os.path.exists(cfg.full.gen_samples_path):
+        with open(cfg.full.gen_samples_path) as fh:
+            gen_sents = [ln for ln in fh.read().splitlines()
+                         if not ln.startswith("label:")]
+        write_fasta(gen_sents, cfg.full.fasta_gen_samples_path)
+    log.info("phase-2 artifacts written under %s", cfg.savepath)
 
 
 def main(argv=None):
@@ -79,6 +143,8 @@ def main(argv=None):
         write_gen_samples(
             dataset.idx2sentences(np.asarray(samples), False),
             cfg.vae.gen_samples_path)
+        write_fasta(dataset.idx2sentences(np.asarray(samples), False),
+                    cfg.vae.fasta_gen_samples_path)
 
     if cfg.phase in (2, -1):
         # phase-2 controlled-generation training. When running phase 2
@@ -95,6 +161,7 @@ def main(argv=None):
         write_gen_samples(
             dataset.idx2sentences(np.asarray(samples), False),
             cfg.full.gen_samples_path, c_lab=np.asarray(c_ix))
+        write_phase2_artifacts(cfg, model, params, dataset)
 
     log.info("saving result.json and vae_result.json at %s", cfg.savepath)
     logger.export_to_json(pjoin(cfg.savepath, "result.json"))

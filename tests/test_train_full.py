@@ -9,7 +9,7 @@ from controlled_peptide_generation_tpu import config as C
 from controlled_peptide_generation_tpu.models import build_model
 from controlled_peptide_generation_tpu.ops import losses as L
 from controlled_peptide_generation_tpu.train.train_full import (
-    make_full_step)
+    make_full_scan, make_full_step)
 
 
 @pytest.fixture(scope="module")
@@ -43,8 +43,8 @@ def make_batch(key, B, V=14, T=10, sep=True):
 
 def test_full_step_runs_and_learns(setup):
     cfg, model, params, rf = setup
-    step, opts = make_full_step(model, cfg.full, cfg.losses, rf,
-                                donate=False)
+    step, opts, _ = make_full_step(model, cfg.full, cfg.losses, rf,
+                                   donate=False)
     oE, oG, oC = (o.init(params) for o in opts)
     key = jax.random.PRNGKey(2)
 
@@ -72,6 +72,46 @@ def test_full_step_runs_and_learns(setup):
             jax.tree_util.tree_leaves(params[group]),
             jax.tree_util.tree_leaves(p[group])))
         assert d > 0, group
+
+
+def test_full_scan_matches_step_trajectory(setup):
+    """make_full_scan(unroll=N) must produce the same params/opt states as
+    N calls of make_full_step (same RNG stream, same batch order)."""
+    cfg, model, params, rf = setup
+    unroll = 4
+    step, opts, _ = make_full_step(model, cfg.full, cfg.losses, rf,
+                                   donate=False)
+    chunk, _ = make_full_scan(model, cfg.full, cfg.losses, rf, unroll,
+                              donate=False)
+    key = jax.random.PRNGKey(7)
+    texts, lab_texts, lab_ys = [], [], []
+    for it in range(unroll):
+        k = jax.random.fold_in(key, 100 + it)
+        texts.append(make_batch(jax.random.fold_in(k, 1), 8)[0])
+        lt, ly = make_batch(jax.random.fold_in(k, 2), 8)
+        lab_texts.append(lt)
+        lab_ys.append(ly)
+
+    p1 = params
+    oE1, oG1, oC1 = (o.init(params) for o in opts)
+    for it in range(unroll):
+        p1, oE1, oG1, oC1, m1 = step(
+            p1, oE1, oG1, oC1, jax.random.fold_in(key, it),
+            texts[it], lab_texts[it], lab_ys[it],
+            jnp.asarray(it, jnp.int32))
+
+    oE2, oG2, oC2 = (o.init(params) for o in opts)
+    p2, oE2, oG2, oC2, m2 = chunk(
+        params, oE2, oG2, oC2, key,
+        jnp.stack(texts), jnp.stack(lab_texts), jnp.stack(lab_ys),
+        jnp.asarray(0, jnp.int32))
+
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+    assert np.isclose(float(m1["L_vae"]), float(m2["L_vae"]),
+                      rtol=2e-5, atol=2e-6)
 
 
 def test_g_attr_gradient_flows_through_soft_feedback(setup):
@@ -115,3 +155,11 @@ def test_full_phase_cli(tmp_path):
     with open(cfg.full.gen_samples_path) as fh:
         content = fh.read()
     assert "label:" in content   # labeled sample lines
+    # controlled-generation artifact battery (cfg.py:130-134 filenames)
+    assert os.path.exists(cfg.full.samez_samples_path)
+    assert os.path.exists(cfg.full.interp_samples_path)
+    assert os.path.exists(cfg.full.posz_samples_path)
+    assert os.path.exists(cfg.full.fasta_gen_samples_path)
+    with open(cfg.full.samez_samples_path) as fh:
+        samez = fh.read()
+    assert "c=0:" in samez and "c=1:" in samez
