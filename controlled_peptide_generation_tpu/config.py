@@ -257,7 +257,12 @@ def default_config():
         freeze_embeddings=False,
         flow=0,
         flow_type="",
-        E_args=Bunch(h_dim=80, biGRU=True, layers=1, p_dropout=0.0),
+        E_args=Bunch(E_class="gru", h_dim=80, biGRU=True, layers=1,
+                     p_dropout=0.0,
+                     # transformer-encoder stretch family (no reference
+                     # counterpart; BASELINE.json stretch config)
+                     T_args=Bunch(d_model=128, n_layers=2, d_ff=256,
+                                  n_heads=4, p_dropout=0.0, bf16=False)),
         G_args=Bunch(
             G_class="gru",
             GRU_args=Bunch(
@@ -265,6 +270,8 @@ def default_config():
                 p_out_dropout=0.3,
                 skip_connections=False,
             ),
+            T_args=Bunch(d_model=128, n_layers=2, d_ff=256, n_heads=4,
+                         p_word_dropout=0.3, p_dropout=0.0, bf16=False),
             deconv_args=Bunch(
                 max_seq_len=25,
                 num_filters=100,

@@ -22,6 +22,7 @@ from . import decoder as dec
 from . import deconv as deconv_mod
 from . import classifier as clf
 from . import flow as flow_mod
+from . import transformer as tfm
 
 
 @dataclass(frozen=True, eq=False)  # identity hash: usable as a jit static arg
@@ -43,12 +44,24 @@ class RNNVAE:
         return self.z_dim + self.c_dim
 
     @property
+    def E_class(self):
+        return self.E_args.get("E_class", "gru")
+
+    @property
     def G_class(self):
         return self.G_args.get("G_class", "gru")
 
     @property
     def gru_args(self):
         return dict(self.G_args.get("GRU_args", {}))
+
+    @property
+    def enc_tfm_args(self):
+        return dict(self.E_args.get("T_args", {}))
+
+    @property
+    def dec_tfm_args(self):
+        return dict(self.G_args.get("T_args", {}))
 
     @property
     def deconv_args(self):
@@ -63,11 +76,19 @@ class RNNVAE:
     def init_params(self, key):
         ke, kenc, kdec, kclf, kflow = jax.random.split(key, 5)
         g_args = self.gru_args
-        params = {
-            "emb": nn.init_embedding(ke, self.n_vocab, self.emb_dim),
-            "enc": enc.init(kenc, emb_dim=self.emb_dim, z_dim=self.z_dim,
-                            **{k: v for k, v in self.E_args.items()}),
-            "dec": (dec.init(
+        if self.E_class == "transformer":
+            enc_p = tfm.init_encoder(
+                kenc, emb_dim=self.emb_dim, z_dim=self.z_dim,
+                max_seq_len=self.max_seq_len,
+                **{k: v for k, v in self.enc_tfm_args.items()
+                   if k in ("d_model", "n_layers", "d_ff", "n_heads",
+                            "p_dropout")})
+        else:
+            enc_p = enc.init(kenc, emb_dim=self.emb_dim, z_dim=self.z_dim,
+                             **{k: v for k, v in self.E_args.items()
+                                if k not in ("E_class", "T_args")})
+        if self.G_class == "gru":
+            dec_p = dec.init(
                 kdec,
                 emb_dim=self.emb_dim + self.z_dim + self.c_dim,
                 output_dim=self.n_vocab,
@@ -75,10 +96,23 @@ class RNNVAE:
                 p_word_dropout=g_args.get("p_word_dropout", 0.3),
                 p_out_dropout=g_args.get("p_out_dropout", 0.3),
                 skip_connections=g_args.get("skip_connections", False))
-                if self.G_class == "gru" else
-                deconv_mod.init(
-                    kdec, h_dim=self.h_dec, output_dim=self.n_vocab,
-                    emb_dim=self.emb_dim, **self.deconv_args)),
+        elif self.G_class == "transformer":
+            t_args = self.dec_tfm_args
+            dec_p = tfm.init_decoder(
+                kdec, emb_dim=self.emb_dim, z_dim=self.z_dim,
+                c_dim=self.c_dim, output_dim=self.n_vocab,
+                max_seq_len=self.max_seq_len,
+                **{k: v for k, v in t_args.items()
+                   if k in ("d_model", "n_layers", "d_ff", "n_heads",
+                            "p_dropout")})
+        else:
+            dec_p = deconv_mod.init(
+                kdec, h_dim=self.h_dec, output_dim=self.n_vocab,
+                emb_dim=self.emb_dim, **self.deconv_args)
+        params = {
+            "emb": nn.init_embedding(ke, self.n_vocab, self.emb_dim),
+            "enc": enc_p,
+            "dec": dec_p,
             "clf": clf.init(kclf, self.emb_dim, **self.C_args),
         }
         if self.flow > 0:
@@ -98,10 +132,22 @@ class RNNVAE:
 
     def encode(self, params, inputs):
         """inputs: [B, T] int tokens or [B, T, V] soft one-hots."""
+        from ..data.vocab import PAD_IDX
         if inputs.ndim == 2:
             emb = nn.embed(params["emb"], inputs)
         else:
             emb = nn.soft_embed(params["emb"], inputs)
+        if self.E_class == "transformer":
+            t_args = self.enc_tfm_args
+            if inputs.ndim == 2:
+                pad_mask = inputs != PAD_IDX
+            else:
+                # soft rows: treat a position as real unless PAD dominates
+                pad_mask = inputs[..., PAD_IDX] < 0.5
+            return tfm.apply_encoder(
+                params["enc"], emb, pad_mask,
+                n_heads=t_args.get("n_heads", 4),
+                bf16=t_args.get("bf16", False))
         return enc.apply(params["enc"], emb,
                          h_dim=self.E_args.get("h_dim", 80),
                          biGRU=self.E_args.get("biGRU", True))
@@ -135,6 +181,14 @@ class RNNVAE:
             return deconv_mod.apply(params["dec"], z, c,
                                     emb_dim=self.emb_dim,
                                     **self.deconv_args)
+        if self.G_class == "transformer":
+            t_args = self.dec_tfm_args
+            return tfm.apply_teacher_forced(
+                params["dec"], params["emb"], tokens, z, c, key, train,
+                n_heads=t_args.get("n_heads", 4),
+                p_word_dropout=t_args.get("p_word_dropout", 0.3),
+                p_dropout=t_args.get("p_dropout", 0.0),
+                bf16=t_args.get("bf16", False))
         g_args = self.gru_args
         return dec.apply_teacher_forced(
             params["dec"], params["emb"], tokens, z, c, key, train,
@@ -150,6 +204,12 @@ class RNNVAE:
 
     def decode_step(self, params, token_hard, token_soft, z, c, h,
                     key=None, train=False):
+        if self.G_class == "transformer":
+            t_args = self.dec_tfm_args
+            return tfm.apply_step(
+                params["dec"], params["emb"], token_hard, token_soft,
+                z, c, h, n_heads=t_args.get("n_heads", 4),
+                bf16=t_args.get("bf16", False))
         g_args = self.gru_args
         return dec.apply_step(
             params["dec"], params["emb"], token_hard, token_soft, z, c, h,
@@ -157,7 +217,14 @@ class RNNVAE:
             p_out_dropout=g_args.get("p_out_dropout", 0.3),
             skip_connections=g_args.get("skip_connections", False))
 
-    def init_decoder_hidden(self, z, c):
+    def init_decoder_hidden(self, params, z, c):
+        """Initial decoder state pytree; every leaf is batch-leading (the
+        sampling scan carries it opaquely, beam reorders per leaf)."""
+        if self.G_class == "transformer":
+            t_args = self.dec_tfm_args
+            return tfm.init_cache(params["dec"], z, c, self.max_seq_len,
+                                  n_heads=t_args.get("n_heads", 4),
+                                  bf16=t_args.get("bf16", False))
         return dec.init_hidden(z, c)
 
     def classify(self, params, inputs, key=None, train=False):

@@ -1,0 +1,244 @@
+"""Transformer encoder / decoder model family (stretch component).
+
+The reference repo contains no transformer (GRU + CNN only — SURVEY §5.7;
+models/encoder.py, models/decoder.py), but its BASELINE driver lists a
+"transformer enc-dec" stretch config. This module adds that family behind
+the same model contracts as the GRU stack (encode -> (mu, logvar),
+teacher-forced decode -> per-step logits, single-step decode for
+sampling/beam), designed TPU-first:
+
+* teacher-forced decode is ONE causal-masked attention pass — all T steps
+  hit the MXU in parallel instead of a sequential recurrence;
+* free-running decode threads a fixed-shape KV-cache pytree through the
+  same lax.scan engines (ops/sampling.py, ops/beam.py) as the GRU; every
+  cache leaf is batch-leading so beam reordering is a take_along_axis
+  gather per leaf;
+* pre-LN blocks, learned positions, static shapes everywhere; optional
+  bfloat16 compute for the block matmuls (params stay fp32).
+
+Conditioning on (z, c) follows the "latent prefix" pattern: proj(z ++ c)
+becomes input position 0 and every generated token causally attends to it
+— the transformer analog of the GRU decoder's h0 = [z; c] wiring
+(reference models/decoder.py:53-54).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import nn
+
+
+def _init_ln(d):
+    return {"g": jnp.ones((d,)), "b": jnp.zeros((d,))}
+
+
+def _ln(p, x, eps=1e-6):
+    x32 = x.astype(jnp.float32)
+    mu = x32.mean(-1, keepdims=True)
+    var = x32.var(-1, keepdims=True)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["g"] + p["b"]).astype(x.dtype)
+
+
+def _init_block(key, d_model, d_ff):
+    ka, ko, k1, k2 = jax.random.split(key, 4)
+    return {
+        "ln1": _init_ln(d_model),
+        "qkv": nn.init_linear(ka, d_model, 3 * d_model),
+        "attn_out": nn.init_linear(ko, d_model, d_model),
+        "ln2": _init_ln(d_model),
+        "ff1": nn.init_linear(k1, d_model, d_ff),
+        "ff2": nn.init_linear(k2, d_ff, d_model),
+    }
+
+
+def _split_heads(x, n_heads):
+    B, S, D = x.shape
+    return x.reshape(B, S, n_heads, D // n_heads)
+
+
+def _attention(q, k, v, mask):
+    """q: [B, Sq, H, Dh], k/v: [B, Sk, H, Dh], mask: broadcastable to
+    [B, H, Sq, Sk] (True = attend)."""
+    dh = q.shape[-1]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
+        jnp.asarray(dh, jnp.float32)).astype(q.dtype)
+    logits = jnp.where(mask, logits.astype(jnp.float32), -1e30)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def _block_full(p, x, mask, n_heads, key=None, p_dropout=0.0, train=False):
+    """Pre-LN block over a full sequence. x: [B, S, D]."""
+    h = _ln(p["ln1"], x)
+    qkv = nn.linear(p["qkv"], h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (_split_heads(t, n_heads) for t in (q, k, v))
+    a = _attention(q, k, v, mask)
+    a = a.reshape(x.shape)
+    x = x + nn.linear(p["attn_out"], a)
+    h = _ln(p["ln2"], x)
+    h = nn.linear(p["ff2"], jax.nn.gelu(nn.linear(p["ff1"], h)))
+    if train and p_dropout > 0.0 and key is not None:
+        h = nn.dropout(key, h, p_dropout, train)
+    return x + h
+
+
+def _block_step(p, x, cache_k, cache_v, pos, n_heads):
+    """One token through a block with KV cache.
+
+    x: [B, D]; cache_k/v: [B, S, D] (this block's lanes); pos: [B] int32
+    write position. Returns (y [B, D], new_k, new_v)."""
+    B, S, D = cache_k.shape
+    h = _ln(p["ln1"], x)
+    qkv = nn.linear(p["qkv"], h)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    bix = jnp.arange(B)
+    cache_k = cache_k.at[bix, pos].set(k)
+    cache_v = cache_v.at[bix, pos].set(v)
+    # attend to positions 0..pos (inclusive of the token just written)
+    mask = (jnp.arange(S)[None, :] <= pos[:, None])[:, None, None, :]
+    q4 = q.reshape(B, 1, n_heads, D // n_heads)
+    k4 = _split_heads(cache_k, n_heads)
+    v4 = _split_heads(cache_v, n_heads)
+    a = _attention(q4, k4, v4, mask).reshape(B, D)
+    x = x + nn.linear(p["attn_out"], a)
+    h = _ln(p["ln2"], x)
+    h = nn.linear(p["ff2"], jax.nn.gelu(nn.linear(p["ff1"], h)))
+    return x + h, cache_k, cache_v
+
+
+# ---------------------------------------------------------------------------
+# Encoder: tokens -> (mu, logvar)
+# ---------------------------------------------------------------------------
+
+def init_encoder(key, emb_dim, z_dim, max_seq_len, d_model=128, n_layers=2,
+                 d_ff=256, n_heads=4, p_dropout=0.0):
+    kin, kpos, kmu, klv, *kb = jax.random.split(key, 4 + n_layers)
+    return {
+        "in": nn.init_linear(kin, emb_dim, d_model),
+        "pos": 0.02 * jax.random.normal(kpos, (max_seq_len + 1, d_model)),
+        "blocks": [_init_block(k, d_model, d_ff) for k in kb],
+        "ln_f": _init_ln(d_model),
+        "mu": nn.init_linear(kmu, d_model, z_dim),
+        "logvar": nn.init_linear(klv, d_model, z_dim),
+    }
+
+
+def apply_encoder(params, emb, pad_mask, n_heads=4, key=None,
+                  p_dropout=0.0, train=False, bf16=False):
+    """emb: [B, T, E]; pad_mask: [B, T] True at real tokens.
+
+    Pooling = masked mean over non-PAD positions (the transformer analog of
+    the biGRU's last-state concat)."""
+    B, T, _ = emb.shape
+    x = nn.linear(params["in"], emb) + params["pos"][:T]
+    if bf16:
+        x = x.astype(jnp.bfloat16)
+    mask = pad_mask[:, None, None, :]          # attend only to real tokens
+    keys = (jax.random.split(key, len(params["blocks"]))
+            if key is not None else [None] * len(params["blocks"]))
+    for p, k in zip(params["blocks"], keys):
+        x = _block_full(p, x, mask, n_heads, key=k,
+                        p_dropout=p_dropout, train=train)
+    x = _ln(params["ln_f"], x).astype(jnp.float32)
+    denom = jnp.maximum(pad_mask.sum(1, keepdims=True), 1).astype(x.dtype)
+    pooled = (x * pad_mask[:, :, None]).sum(1) / denom
+    return nn.linear(params["mu"], pooled), nn.linear(params["logvar"],
+                                                      pooled)
+
+
+# ---------------------------------------------------------------------------
+# Decoder: (z, c) + tokens -> logits
+# ---------------------------------------------------------------------------
+
+def init_decoder(key, emb_dim, z_dim, c_dim, output_dim, max_seq_len,
+                 d_model=128, n_layers=2, d_ff=256, n_heads=4,
+                 p_dropout=0.0):
+    kin, klat, kpos, kout, *kb = jax.random.split(key, 4 + n_layers)
+    return {
+        "in": nn.init_linear(kin, emb_dim, d_model),
+        "latent": nn.init_linear(klat, z_dim + c_dim, d_model),
+        "pos": 0.02 * jax.random.normal(kpos, (max_seq_len + 1, d_model)),
+        "blocks": [_init_block(k, d_model, d_ff) for k in kb],
+        "ln_f": _init_ln(d_model),
+        "out": nn.init_linear(kout, d_model, output_dim),
+    }
+
+
+def apply_teacher_forced(params, emb_params, tokens, z, c, key, train,
+                         n_heads=4, p_word_dropout=0.3, p_dropout=0.0,
+                         bf16=False):
+    """tokens: [B, T] -> logits [B, T, V]; logits[t] = f(latent,
+    tokens[0..t]) — the same contract as the GRU teacher-forced scan.
+
+    One causal pass over [latent, emb(tokens)] (length T+1); outputs at
+    positions 1..T are the per-step logits."""
+    from ..data.vocab import UNK_IDX
+    k_wd, k_blocks = jax.random.split(key)
+    x_tok = nn.word_dropout(k_wd, tokens, p_word_dropout, UNK_IDX, train)
+    emb = nn.embed(emb_params, x_tok)                    # [B, T, E]
+    B, T, _ = emb.shape
+    tok_in = nn.linear(params["in"], emb)                # [B, T, D]
+    lat = nn.linear(params["latent"],
+                    jnp.concatenate([z, c], axis=1))[:, None, :]
+    x = jnp.concatenate([lat, tok_in], axis=1) + params["pos"][:T + 1]
+    if bf16:
+        x = x.astype(jnp.bfloat16)
+    S = T + 1
+    causal = (jnp.arange(S)[None, :] <= jnp.arange(S)[:, None])
+    mask = causal[None, None, :, :]
+    keys = jax.random.split(k_blocks, len(params["blocks"]))
+    for p, k in zip(params["blocks"], keys):
+        x = _block_full(p, x, mask, n_heads, key=k,
+                        p_dropout=p_dropout, train=train)
+    x = _ln(params["ln_f"], x).astype(jnp.float32)
+    return nn.linear(params["out"], x[:, 1:])            # [B, T, V]
+
+
+def init_cache(params, z, c, max_seq_len, n_heads=4, bf16=False):
+    """Process the latent prefix through all layers, returning the decoder
+    hidden state pytree for the step engines. Every leaf is batch-leading.
+
+    cache layout: k/v [B, L, S, D] with S = max_seq_len + 1 (latent at
+    position 0); pos [B] = next write position (1)."""
+    B = z.shape[0]
+    L = len(params["blocks"])
+    D = params["pos"].shape[1]
+    S = max_seq_len + 1
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    x = (nn.linear(params["latent"], jnp.concatenate([z, c], axis=1))
+         + params["pos"][0]).astype(dt)
+    ck = jnp.zeros((B, L, S, D), dt)
+    cv = jnp.zeros((B, L, S, D), dt)
+    pos0 = jnp.zeros((B,), jnp.int32)
+    for li, p in enumerate(params["blocks"]):
+        x, k_l, v_l = _block_step(p, x, ck[:, li], cv[:, li], pos0, n_heads)
+        ck = ck.at[:, li].set(k_l)
+        cv = cv.at[:, li].set(v_l)
+    return {"k": ck, "v": cv, "pos": jnp.ones((B,), jnp.int32)}
+
+
+def apply_step(params, emb_params, token_hard, token_soft, z, c, cache,
+               n_heads=4, bf16=False):
+    """One free-running step with KV cache. Returns (logits [B, V],
+    new cache)."""
+    del z, c  # conditioning lives in the cache (latent prefix)
+    if token_soft is not None:
+        emb = nn.soft_embed(emb_params, token_soft)
+    else:
+        emb = nn.embed(emb_params, token_hard)
+    pos = cache["pos"]
+    x = nn.linear(params["in"], emb) + params["pos"][pos]
+    if bf16:
+        x = x.astype(jnp.bfloat16)
+    ck, cv = cache["k"], cache["v"]
+    for li, p in enumerate(params["blocks"]):
+        x, k_l, v_l = _block_step(p, x, ck[:, li], cv[:, li], pos, n_heads)
+        ck = ck.at[:, li].set(k_l)
+        cv = cv.at[:, li].set(v_l)
+    x = _ln(params["ln_f"], x).astype(jnp.float32)
+    logits = nn.linear(params["out"], x)
+    return logits, {"k": ck, "v": cv, "pos": pos + 1}

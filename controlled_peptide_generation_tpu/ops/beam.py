@@ -24,7 +24,7 @@ Semantics matched to the reference:
 """
 
 from functools import partial
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +37,7 @@ NEG = -1e20
 class BeamState(NamedTuple):
     scores: jnp.ndarray    # [B, K] accumulated log-probs
     prev: jnp.ndarray      # [B, K] last token per beam
-    h: jnp.ndarray         # [B, K, H] decoder hidden
+    h: Any                 # decoder hidden pytree, leaves [B, K, ...]
     adv: jnp.ndarray       # [B] number of advances performed
     eos_top: jnp.ndarray   # [B] EOS has topped the beam
     fin_cnt: jnp.ndarray   # [B] finished-hypothesis count
@@ -133,9 +133,10 @@ def beam_search(model, params, z, c, beam_size=5, n_best=3, min_length=1,
 
     z_flat = jnp.repeat(z, K, axis=0)          # [B*K] batch-major lanes
     c_flat = jnp.repeat(c, K, axis=0)
-    h0 = model.init_decoder_hidden(z, c)       # [B, H]
-    H = h0.shape[1]
-    h0 = jnp.repeat(h0[:, None, :], K, axis=1)
+    # hidden is a pytree with batch-leading leaves (GRU: one [B, H] array;
+    # transformer: KV-cache dict); replicate every leaf over the beam axis
+    h0 = model.init_decoder_hidden(params, z, c)
+    h0 = jax.tree.map(lambda a: jnp.repeat(a[:, None], K, axis=1), h0)
 
     prev0 = jnp.full((B, K), PAD_IDX, jnp.int32).at[:, 0].set(START_IDX)
     state = BeamState(
@@ -154,9 +155,11 @@ def beam_search(model, params, z, c, beam_size=5, n_best=3, min_length=1,
                                min_length=min_length))
 
     def step(state, _):
+        h_flat = jax.tree.map(
+            lambda a: a.reshape(B * K, *a.shape[2:]), state.h)
         logits, h_new = model.decode_step(
             params, state.prev.reshape(B * K), None, z_flat, c_flat,
-            state.h.reshape(B * K, H))
+            h_flat)
         logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
         done = state.eos_top & (state.fin_cnt >= n_best)
 
@@ -165,15 +168,24 @@ def beam_search(model, params, z, c, beam_size=5, n_best=3, min_length=1,
                             state.fin_cnt, state.fin_score, state.fin_t,
                             state.fin_k, state.eos_top)
 
-        # reorder hidden along the beam axis by backpointer origin
-        h_new = h_new.reshape(B, K, H)
-        h_adv = jnp.take_along_axis(h_new, prev_k[:, :, None], axis=1)
+        # reorder hidden along the beam axis by backpointer origin,
+        # per leaf (index broadcast up to the leaf's rank)
+        def reorder(a):
+            a = a.reshape(B, K, *a.shape[1:])
+            idx = prev_k.reshape(B, K, *([1] * (a.ndim - 2)))
+            return jnp.take_along_axis(a, idx, axis=1)
 
-        d1, d2 = done[:, None], done[:, None, None]
+        h_adv = jax.tree.map(reorder, h_new)
+
+        d1 = done[:, None]
+        h_next = jax.tree.map(
+            lambda old, new: jnp.where(
+                done.reshape(B, *([1] * (new.ndim - 1))), old, new),
+            state.h, h_adv)
         new_state = BeamState(
             scores=jnp.where(d1, state.scores, best),
             prev=jnp.where(d1, state.prev, next_y),
-            h=jnp.where(d2, state.h, h_adv),
+            h=h_next,
             adv=jnp.where(done, state.adv, adv),
             eos_top=jnp.where(done, state.eos_top, eos_top),
             fin_cnt=jnp.where(done, state.fin_cnt, fin_cnt),

@@ -45,7 +45,9 @@ def sample_sentences(model, params, key, z, c,
 
     tok0 = jnp.full((B,), START_IDX, jnp.int32)
     soft0 = jax.nn.one_hot(tok0, V) if soft else None
-    h0 = model.init_decoder_hidden(z, c)
+    # hidden state is an opaque pytree (GRU: [B, H] array; transformer:
+    # KV-cache dict) — the scan carries it without looking inside
+    h0 = model.init_decoder_hidden(params, z, c)
     finished0 = jnp.zeros((B,), bool)
 
     def step(carry, key_t_and_i):

@@ -91,8 +91,8 @@ def oracle_decode(model, params, z, c, K, n_best, max_len):
     for b in range(B):
         zb = jnp.tile(z[b:b + 1], (K, 1))
         cb = jnp.tile(c[b:b + 1], (K, 1))
-        h = jnp.tile(model.init_decoder_hidden(z[b:b + 1], c[b:b + 1]),
-                     (K, 1))
+        h = jnp.tile(model.init_decoder_hidden(params, z[b:b + 1],
+                                               c[b:b + 1]), (K, 1))
         beam = OracleBeam(K, n_best)
         for _ in range(max_len):
             if beam.done():
