@@ -93,6 +93,80 @@ def bench_train(cfg, model, params, n_steps=100, batch_size=32):
     return n_chunks * unroll / (time.perf_counter() - t0)
 
 
+def bench_full_train(cfg, model, params, n_steps=60, batch_size=32):
+    """Phase-2 (controlled-generation) iterations/sec: 3 sub-updates per
+    iteration (VAE, generator-attribute with soft-sample feedback,
+    classifier), unrolled 10 per dispatch."""
+    import jax
+    import jax.numpy as jnp
+    from controlled_peptide_generation_tpu.ops import losses as L
+    from controlled_peptide_generation_tpu.train.train_full import (
+        make_full_scan)
+
+    cfg.full.update(cfg.shared)
+    rf = L.init_rf_basis(jax.random.PRNGKey(1), model.z_dim,
+                         cfg.losses.wae_mmd.rf_dim)
+    unroll = 10
+    chunk_step, opts = make_full_scan(model, cfg.full, cfg.losses, rf,
+                                      unroll, donate=True)
+    params = jax.tree.map(jnp.copy, params)
+    oE, oG, oC = (o.init(params) for o in opts)
+
+    rng = jax.random.PRNGKey(2)
+    toks = jax.random.randint(
+        rng, (unroll, batch_size, model.max_seq_len), 4, model.n_vocab,
+        jnp.int32).at[..., 0].set(2).at[..., 12].set(3)
+    lab_y = jax.random.bernoulli(rng, 0.5, (unroll, batch_size)).astype(
+        jnp.int32)
+
+    p, oE, oG, oC, _ = chunk_step(p_ := params, oE, oG, oC, rng, toks,
+                                  toks, lab_y, jnp.asarray(0, jnp.int32))
+    jax.block_until_ready(p)
+    n_chunks = max(n_steps // unroll, 1)
+    t0 = time.perf_counter()
+    for i in range(n_chunks):
+        p, oE, oG, oC, _ = chunk_step(p, oE, oG, oC, rng, toks, toks,
+                                      lab_y,
+                                      jnp.asarray(i * unroll, jnp.int32))
+    jax.block_until_ready(p)
+    return n_chunks * unroll / (time.perf_counter() - t0)
+
+
+def bench_reject_1m(cfg, model, params, n_latents=1_000_000):
+    """Stretch config (BASELINE.json): CLaSS rejection over 10^6 latents —
+    GMM-100 draw + 2 classifier heads + accept test in ONE program,
+    decode excluded (accepted-only decode happens downstream)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from controlled_peptide_generation_tpu.latent import density, logreg
+
+    key = jax.random.PRNGKey(6)
+    mu = 0.5 * jax.random.normal(key, (5000, model.z_dim))
+    lv = jnp.full((5000, model.z_dim), -1.5)
+    Q = density.mogQ(np.asarray(mu), np.asarray(lv), n_components=100,
+                     z_num_samples=2, covariance_type="diag", key=key)
+    w1 = jnp.zeros(model.z_dim).at[0].set(1.0)
+    w2 = jnp.zeros(model.z_dim).at[1].set(-0.5)
+    Q.init_attr_classifiers(
+        {"amp": logreg.LogRegParams(w=w1, b=jnp.asarray(0.3)),
+         "tox": logreg.LogRegParams(w=w2, b=jnp.asarray(-0.4))},
+        {"amp": 1, "tox": 0})
+
+    z, scores, accept = Q.rejection_sample(key, n_latents)  # compile
+    jax.block_until_ready(accept)
+    n_rep = 5
+    t0 = time.perf_counter()
+    for r in range(n_rep):
+        z, scores, accept = Q.rejection_sample(
+            jax.random.fold_in(key, r), n_latents)
+    jax.block_until_ready(accept)
+    dt = time.perf_counter() - t0
+    log(f"1M-latent rejection: {n_rep}x{n_latents} in {dt:.3f}s "
+        f"(accept rate {float(accept.mean()):.3f})")
+    return n_rep * n_latents / dt
+
+
 def bench_beam(cfg, model, params, chunk=1024, n_chunks=4, beam_size=5):
     import jax
     from controlled_peptide_generation_tpu.ops.beam import beam_search
@@ -194,6 +268,11 @@ def main():
             cfg, model, params, n_steps=30 if args.fast else 100)
         details["beam_decode_seqs_per_sec"] = bench_beam(
             cfg, model, params, n_chunks=2 if args.fast else 4)
+        details["full_train_steps_per_sec"] = bench_full_train(
+            cfg, model, params, n_steps=20 if args.fast else 60)
+        details["reject_1m_latents_per_sec"] = bench_reject_1m(
+            cfg, model, params,
+            n_latents=100_000 if args.fast else 1_000_000)
         with open("BENCH_DETAILS.json", "w") as fh:
             json.dump(details, fh, indent=2)
         log(json.dumps(details, indent=2))
