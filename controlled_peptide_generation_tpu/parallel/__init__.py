@@ -1,2 +1,2 @@
-from .mesh import (get_mesh, make_dp_train_step, dp_rejection_round,
-                   replicate, shard_batch)
+from .mesh import (get_mesh, make_dp_train_step, make_dp_train_scan,
+                   dp_rejection_round, replicate, shard_batch)

@@ -123,6 +123,44 @@ def make_dp_train_step(model, cfgv, cfg_losses, rf_basis, mesh,
     return train_step, optimizer
 
 
+def make_dp_train_scan(model, cfgv, cfg_losses, rf_basis, mesh, unroll,
+                       axis="data", donate=True):
+    """``unroll`` data-parallel optimizer steps in ONE jitted program:
+    the batch stack [unroll, B, T] is sharded over the mesh on the batch
+    axis, the scan carries replicated params/opt state, and each inner
+    step's gradient reduction is the same XLA psum as make_dp_train_step.
+    RNG streams match the step-by-step DP path (fold_in(key, it))."""
+    step_fn, optimizer = make_dp_train_step(model, cfgv, cfg_losses,
+                                            rf_basis, mesh, axis=axis,
+                                            donate=False)
+    # re-derive the un-jitted single-step body: jit-of-jit is fine in jax
+    # (inner jit inlines), so reuse step_fn directly inside the scan
+
+    repl = NamedSharding(mesh, P())
+    stack_sh = NamedSharding(mesh, P(None, axis))
+
+    @partial(jax.jit,
+             in_shardings=(repl, repl, repl, stack_sh, repl),
+             out_shardings=(repl, repl, repl),
+             donate_argnums=(0, 1) if donate else ())
+    def train_chunk(params, opt_state, key, texts, it0):
+        def body(carry, inp):
+            params, opt_state = carry
+            text, i = inp
+            it = it0 + i
+            params, opt_state, metrics = step_fn(
+                params, opt_state, jax.random.fold_in(key, it), text, it)
+            return (params, opt_state), metrics
+
+        (params, opt_state), metrics = jax.lax.scan(
+            body, (params, opt_state),
+            (texts, jnp.arange(unroll, dtype=jnp.int32)))
+        last = jax.tree.map(lambda m: m[-1], metrics)
+        return params, opt_state, last
+
+    return train_chunk, optimizer
+
+
 def dp_rejection_round(mesh, sampler, clf_w, clf_b, targets, key, n,
                        axis="data"):
     """CLaSS rejection round sharded across the mesh: each device draws and

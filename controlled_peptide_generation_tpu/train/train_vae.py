@@ -246,12 +246,26 @@ def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
     # multi-step unroll: run `unroll` optimizer steps per device dispatch
     # between host/logging boundaries
     unroll = int(cfg.hw.get("unroll", 1) or 1)
-    if rf_basis is None or mesh is not None:
-        unroll = 1   # per-step basis resampling / DP path: no chunking yet
+    if rf_basis is None:
+        unroll = 1   # per-step basis resampling: no chunking
     if unroll > 1:
-        train_chunk, _ = make_train_scan(model, cfgv, cfg.losses, rf_basis,
-                                         unroll,
-                                         donate=cfg.hw.donate_state)
+        if mesh is not None:
+            from .. import parallel
+            train_chunk, _ = parallel.make_dp_train_scan(
+                model, cfgv, cfg.losses, rf_basis, mesh, unroll,
+                axis=cfg.hw.get("mesh_axis", "data"),
+                donate=cfg.hw.donate_state)
+        else:
+            train_chunk, _ = make_train_scan(model, cfgv, cfg.losses,
+                                             rf_basis, unroll,
+                                             donate=cfg.hw.donate_state)
+
+    def place_chunk(texts):
+        if mesh is None:
+            return jnp.asarray(texts)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(mesh, P(None, cfg.hw.get("mesh_axis", "data")))
+        return jax.device_put(jnp.asarray(texts), sh)
 
     def needs_host(j):
         """Step j requires host-side work (logging or checkpoint)."""
@@ -277,7 +291,7 @@ def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
             texts = np.stack([dataset.next_batch("train_vae").text
                               for _ in range(unroll)])
             params, opt_state, metrics = train_chunk(
-                params, opt_state, k_steps, jnp.asarray(texts),
+                params, opt_state, k_steps, place_chunk(texts),
                 jnp.asarray(it, jnp.int32))
             it += unroll
             continue
