@@ -257,6 +257,10 @@ def default_config():
         freeze_embeddings=False,
         flow=0,
         flow_type="",
+        # gen_prior = reference semantics (flow applied to prior samples at
+        # generation, untrainable — forward raises during training);
+        # posterior = trainable flow-posterior objective (losses.kl_flow_mc)
+        flow_mode="gen_prior",
         E_args=Bunch(E_class="gru", h_dim=80, biGRU=True, layers=1,
                      p_dropout=0.0,
                      # transformer-encoder stretch family (no reference

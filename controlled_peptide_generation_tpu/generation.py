@@ -35,7 +35,12 @@ def generate_sentences(model, params, key, mbsize, z=None, c=None,
     assert mbsize == z.shape[0] == c.shape[0], (
         f"sizes dont match {mbsize} {z.shape[0]} {c.shape[0]}")
 
-    if model.flow > 0:
+    if model.flow > 0 and getattr(model, "flow_mode",
+                                  "gen_prior") == "gen_prior":
+        # reference semantics (model.py:210-214): flow applied to prior
+        # samples at generation. posterior-trained flows transform q(z|x)
+        # during training only — the aggregate posterior of z_K is already
+        # matched to N(0,I), so prior samples decode directly.
         z, _ = model.apply_flow(params, z)
 
     if model.G_class == "deconv":

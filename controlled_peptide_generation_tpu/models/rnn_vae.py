@@ -35,6 +35,7 @@ class RNNVAE:
     freeze_embeddings: bool = False
     flow: int = 0
     flow_type: str = ""
+    flow_mode: str = "gen_prior"   # gen_prior (reference) | posterior
     E_args: dict = field(default_factory=dict)
     G_args: dict = field(default_factory=dict)
     C_args: dict = field(default_factory=dict)
@@ -287,6 +288,7 @@ def build_model(cfg_model, n_vocab, max_seq_len) -> RNNVAE:
         freeze_embeddings=cfg_model.freeze_embeddings,
         flow=cfg_model.flow,
         flow_type=cfg_model.flow_type,
+        flow_mode=cfg_model.get("flow_mode", "gen_prior"),
         E_args=dict(cfg_model.E_args),
         G_args={k: (dict(v) if isinstance(v, dict) else v)
                 for k, v in cfg_model.G_args.items()},

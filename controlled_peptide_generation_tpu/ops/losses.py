@@ -106,3 +106,16 @@ def wae_mmd_gaussianprior_full(key, z, sigma, kernel="gaussian"):
 def wae_mmd_gaussianprior_rf(key, z, rf_w, rf_b, sigma):
     z_prior = jax.random.normal(key, z.shape, z.dtype)
     return mmd_rf(z, z_prior, rf_w, rf_b, sigma)
+
+
+def kl_flow_mc(mu, logvar, z0, z_k, logdet):
+    """Single-sample MC estimate of the flow-posterior KL term
+    (Rezende & Mohamed 2015): E_q[log q0(z0|x) - sum log|det J| - log p(z_K)]
+    with p = N(0, I). No reference counterpart — the reference's flow
+    training path was never released (its forward() raises, model.py:173-177);
+    this is the standard objective its logdet accumulation was built for."""
+    log2pi = math.log(2.0 * math.pi)
+    eps2 = (z0 - mu) ** 2 / jnp.exp(logvar)
+    log_q0 = -0.5 * jnp.sum(log2pi + logvar + eps2, axis=1)
+    log_p = -0.5 * jnp.sum(log2pi + z_k ** 2, axis=1)
+    return jnp.mean(log_q0 - logdet - log_p)

@@ -68,43 +68,20 @@ def make_dp_train_step(model, cfgv, cfg_losses, rf_basis, mesh,
     """Data-parallel version of train.make_train_step: batch sharded over
     the mesh axis, params/optimizer state replicated, gradient reduction
     compiled to an XLA psum over ICI."""
+    from ..train.train_vae import make_loss_fn
+
     optimizer = optax.chain(
         optax.clip_by_global_norm(cfgv.clip_grad),
         optax.adam(cfgv.lr))
-    mmd_cfg = cfg_losses.wae_mmd
     beta_sched = cfgv.beta
-    z_regu_name = cfgv.z_regu_loss
 
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P(axis))
 
-    def loss_fn(params, key, text, beta):
-        k_fwd, k_mmd, k_rf = jax.random.split(key, 3)
-        (mu, logvar), (z, c), dec_logits = model.forward(
-            params, k_fwd, text, q_c="prior", sample_z=1, train=True)
-        recon = L.recon_dec(text, dec_logits)
-        kl = L.kl_gaussianprior(mu, logvar)
-        # the z-coupled MMD terms see the GLOBAL batch: XLA all-gathers z
-        # (100-dim rows — negligible ICI traffic at these sizes)
-        mmd = L.wae_mmd_gaussianprior_full(k_mmd, z, mmd_cfg.sigma,
-                                           mmd_cfg.kernel)
-        rf_w, rf_b = rf_basis
-        mmdrf = L.wae_mmd_gaussianprior_rf(k_rf, z, rf_w, rf_b,
-                                           mmd_cfg.sigma)
-        z_regu = {"kl": kl, "mmd": mmd, "mmdrf": mmdrf}[z_regu_name]
-        z_logvar_L1 = jnp.mean(jnp.sum(jnp.abs(logvar), axis=1))
-        z_logvar_KL = L.kl_gaussian_sharedmu(mu, logvar)
-        loss = (recon + beta * z_regu
-                + cfgv.lambda_logvar_L1 * z_logvar_L1
-                + cfgv.lambda_logvar_KL * z_logvar_KL)
-        return loss, {
-            "z_mu_L1": jnp.mean(jnp.abs(mu)),
-            "z_logvar": jnp.mean(logvar),
-            "z_logvar_L1": z_logvar_L1,
-            "z_logvar_KL_penalty": z_logvar_KL,
-            "L_vae": loss, "L_vae_recon": recon, "L_vae_kl": kl,
-            "L_wae_mmd": mmd, "L_wae_mmdrf": mmdrf,
-        }
+    # the shared phase-1 objective; under the batch sharding the z-coupled
+    # MMD terms see the GLOBAL batch (XLA all-gathers z — 100-dim rows,
+    # negligible ICI traffic) and the gradient reduction compiles to a psum
+    loss_fn = make_loss_fn(model, cfgv, cfg_losses.wae_mmd, rf_basis)
 
     @partial(jax.jit,
              in_shardings=(repl, repl, repl, batch_sh, repl),

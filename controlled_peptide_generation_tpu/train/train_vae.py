@@ -37,23 +37,39 @@ def make_optimizer(cfgv):
     )
 
 
-def make_train_step(model, cfgv, cfg_losses, rf_basis, donate=True):
-    """Build the jitted train step.
+def make_loss_fn(model, cfgv, mmd_cfg, rf_basis):
+    """The phase-1 objective, shared by the single-device step/scan and the
+    DP builders (parallel/mesh.py) so all paths stay trajectory-identical.
 
-    rf_basis: (rf_w, rf_b) fixed random-feature basis, or None to resample
-    from the per-step key (cfg.losses.wae_mmd.rf_resample).
-    """
-    optimizer = make_optimizer(cfgv)
-    mmd_cfg = cfg_losses.wae_mmd
-    beta_sched = cfgv.beta
+    Plain path (model.flow == 0): forward with q_c='prior', z_regu from
+    cfgv.z_regu_loss (kl | mmd | mmdrf). Flow path (model.flow > 0 and
+    flow_mode='posterior'): decode from z_K = flow(z0) and the 'kl' regu
+    becomes the MC flow-posterior KL (losses.kl_flow_mc) — the training
+    mode the reference shipped switches for but never released."""
     z_regu_name = cfgv.z_regu_loss
+    use_flow = model.flow > 0
+    if use_flow:
+        assert getattr(model, "flow_mode", "gen_prior") == "posterior", (
+            "training with a flow requires model.flow_mode='posterior' "
+            "(gen_prior matches the reference, whose forward raises during "
+            "training, model.py:173-177)")
 
     def loss_fn(params, key, text, beta):
         k_fwd, k_mmd, k_rf, k_basis = jax.random.split(key, 4)
-        (mu, logvar), (z, c), dec_logits = model.forward(
-            params, k_fwd, text, q_c="prior", sample_z=1, train=True)
+        if use_flow:
+            kz, kc, kd = jax.random.split(k_fwd, 3)
+            mu, logvar = model.encode(params, text)
+            z0 = model.sample_z(kz, mu, logvar)
+            z, logdet = model.apply_flow(params, z0)
+            c = model.sample_c_prior(kc, text.shape[0])
+            dec_logits = model.decode_train(params, kd, text, z, c,
+                                            train=True)
+            kl = L.kl_flow_mc(mu, logvar, z0, z, logdet)
+        else:
+            (mu, logvar), (z, c), dec_logits = model.forward(
+                params, k_fwd, text, q_c="prior", sample_z=1, train=True)
+            kl = L.kl_gaussianprior(mu, logvar)
         recon = L.recon_dec(text, dec_logits)
-        kl = L.kl_gaussianprior(mu, logvar)
         mmd = L.wae_mmd_gaussianprior_full(k_mmd, z, mmd_cfg.sigma,
                                            mmd_cfg.kernel)
         if rf_basis is None:
@@ -82,6 +98,19 @@ def make_train_step(model, cfgv, cfg_losses, rf_basis, donate=True):
         }
         return loss, metrics
 
+    return loss_fn
+
+
+def make_train_step(model, cfgv, cfg_losses, rf_basis, donate=True):
+    """Build the jitted train step.
+
+    rf_basis: (rf_w, rf_b) fixed random-feature basis, or None to resample
+    from the per-step key (cfg.losses.wae_mmd.rf_resample).
+    """
+    optimizer = make_optimizer(cfgv)
+    beta_sched = cfgv.beta
+    loss_fn = make_loss_fn(model, cfgv, cfg_losses.wae_mmd, rf_basis)
+
     @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def train_step(params, opt_state, key, text, it):
         beta = anneal(beta_sched, it.astype(jnp.float32))
@@ -104,37 +133,10 @@ def make_train_scan(model, cfgv, cfg_losses, rf_basis, unroll, donate=True):
     assert rf_basis is not None, (
         "train scan requires a fixed RF basis (rf_resample=False)")
     optimizer = make_optimizer(cfgv)
-    mmd_cfg = cfg_losses.wae_mmd
     beta_sched = cfgv.beta
-    z_regu_name = cfgv.z_regu_loss
-
-    def loss_fn(params, key, text, beta):
-        # identical key-split structure to make_train_step's loss_fn so the
-        # unrolled and step-by-step paths produce the SAME trajectories
-        k_fwd, k_mmd, k_rf, _k_basis = jax.random.split(key, 4)
-        (mu, logvar), (z, c), dec_logits = model.forward(
-            params, k_fwd, text, q_c="prior", sample_z=1, train=True)
-        recon = L.recon_dec(text, dec_logits)
-        kl = L.kl_gaussianprior(mu, logvar)
-        mmd = L.wae_mmd_gaussianprior_full(k_mmd, z, mmd_cfg.sigma,
-                                           mmd_cfg.kernel)
-        rf_w, rf_b = rf_basis
-        mmdrf = L.wae_mmd_gaussianprior_rf(k_rf, z, rf_w, rf_b,
-                                           mmd_cfg.sigma)
-        z_regu = {"kl": kl, "mmd": mmd, "mmdrf": mmdrf}[z_regu_name]
-        z_logvar_L1 = jnp.mean(jnp.sum(jnp.abs(logvar), axis=1))
-        z_logvar_KL = L.kl_gaussian_sharedmu(mu, logvar)
-        loss = (recon + beta * z_regu
-                + cfgv.lambda_logvar_L1 * z_logvar_L1
-                + cfgv.lambda_logvar_KL * z_logvar_KL)
-        return loss, {
-            "z_mu_L1": jnp.mean(jnp.abs(mu)),
-            "z_logvar": jnp.mean(logvar),
-            "z_logvar_L1": z_logvar_L1,
-            "z_logvar_KL_penalty": z_logvar_KL,
-            "L_vae": loss, "L_vae_recon": recon, "L_vae_kl": kl,
-            "L_wae_mmd": mmd, "L_wae_mmdrf": mmdrf,
-        }
+    # same loss (and key-split structure) as make_train_step, so the
+    # unrolled and step-by-step paths produce the SAME trajectories
+    loss_fn = make_loss_fn(model, cfgv, cfg_losses.wae_mmd, rf_basis)
 
     @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def train_chunk(params, opt_state, key, texts, it0):
@@ -168,8 +170,21 @@ def _heldout_fn(model):
     """Per-model cached jitted heldout evaluator."""
     fn = _heldout_fns.get(id(model))
     if fn is None:
+        use_flow = (model.flow > 0
+                    and getattr(model, "flow_mode", "") == "posterior")
+
         @jax.jit
         def fn(params, key, text):
+            if use_flow:
+                kz, kc, kd = jax.random.split(key, 3)
+                mu, lv = model.encode(params, text)
+                z0 = model.sample_z(kz, mu, lv)
+                z, logdet = model.apply_flow(params, z0)
+                c = model.sample_c_prior(kc, text.shape[0])
+                logits = model.decode_train(params, kd, text, z, c,
+                                            train=False)
+                return (L.recon_dec(text, logits),
+                        L.kl_flow_mc(mu, lv, z0, z, logdet))
             (mu, lv), _, logits = model.forward(
                 params, key, text, q_c="prior", sample_z=1, train=False)
             return L.recon_dec(text, logits), L.kl_gaussianprior(mu, lv)
