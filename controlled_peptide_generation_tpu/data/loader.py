@@ -33,18 +33,25 @@ class _WeightedRandomIterator:
     """Infinite batches sampled i.i.d. from a multinomial with replacement
     (reference: dataset.py:60-77)."""
 
-    def __init__(self, indices, weights, batch_size, seed):
+    def __init__(self, indices, weights, batch_size, seed, block=128):
         self.indices = np.asarray(indices)
         p = np.asarray(weights, dtype=np.float64)
         self.p = p / p.sum()
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
         self.repeat = True
+        # draws are i.i.d. with replacement, so generating `block` batches
+        # per rng.choice call is distribution-identical and amortizes the
+        # O(N) cumsum that np pays per call (~30x at the reference corpus
+        # size; the host must outpace ~1.7k device steps/sec when unrolled)
+        self.block = block
 
     def __iter__(self):
         while True:
-            yield self.rng.choice(self.indices, size=self.batch_size,
-                                  replace=True, p=self.p)
+            draws = self.rng.choice(
+                self.indices, size=(self.block, self.batch_size),
+                replace=True, p=self.p)
+            yield from draws
 
     def __len__(self):
         raise TypeError("infinite iterator")
