@@ -145,3 +145,61 @@ def test_curate_end_to_end(raw_dir, tmp_path):
         split_seed=1)
     b = loader.next_batch("train_vae")
     assert b.text.shape == (4, 25)
+
+
+REF_RAW = "/root/reference/data_processing/data"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_RAW),
+                    reason="reference raw data not mounted")
+def test_curation_on_reference_bundled_raw_data(tmp_path):
+    """End-to-end curation over the reference repo's own bundled raw
+    sources (its de-facto fixtures, README.md:31) and a loader round-trip
+    over the curated corpus."""
+    out = str(tmp_path / "amp")
+    curation.curate(REF_RAW, out)
+
+    unlab = pd.read_csv(os.path.join(out, "unlab.csv"))
+    amp = pd.read_csv(os.path.join(out, "amp_lab.csv"))
+    tox = pd.read_csv(os.path.join(out, "tox_lab.csv"))
+    assert len(unlab) > 100 and len(amp) > 10 and len(tox) > 10
+    assert set(amp.columns) >= {"text", "amp"}
+    assert set(tox.columns) >= {"text", "tox"}
+    # label values must be exactly the loader's attribute-map keys
+    # (cfg.py:316-321 amp_* / tox_* vocabulary)
+    assert set(amp["amp"]) <= {"amp_posc", "amp_posnc", "amp_negc",
+                               "amp_negnc"}
+    assert set(tox["tox"]) <= {"tox_posc", "tox_posnc", "tox_negc",
+                               "tox_negnc"}
+    # validity filters: canonical AAs only, length bounds
+    aas = set("ACDEFGHIKLMNPQRSTVWY")
+    for df in (unlab, amp, tox):
+        seqs = df["text"].str.replace(" ", "")
+        assert seqs.map(lambda s: set(s) <= aas).all()
+        assert (seqs.str.len() <= 50).all()
+
+    # loader round-trip on the curated corpus
+    from controlled_peptide_generation_tpu import config as C
+    from controlled_peptide_generation_tpu.data.loader import (
+        AttributeDataLoader)
+    cfg = C.default_config()
+    spec = C.dataset_spec(cfg)          # default dataset = 'amp'
+    spec["data_path"] = out
+    spec["fixed_vocab_path"] = ""   # build vocab from the curated corpus
+    # the bundled fixtures cover the three core corpora only (the other
+    # csvs come from the reference's separate full-data download)
+    spec["csv_files"] = ["unlab.csv", "amp_lab.csv", "tox_lab.csv"]
+    spec["attributes"] = [a for a in spec["attributes"]
+                          if a[0] in ("amp", "tox")]
+    present = ({f"amp={v}" for v in set(amp["amp"])}
+               | {f"tox={v}" for v in set(tox["tox"])})
+    for it in spec["iteratorspecs"].values():
+        if "sample_prob_factors" in it:
+            it["sample_prob_factors"] = {
+                k: v for k, v in it["sample_prob_factors"].items()
+                if k in present}
+    loader = AttributeDataLoader(mbsize=8, max_seq_len=cfg.max_seq_len,
+                                 **spec)
+    b = loader.next_batch("train_vae")
+    assert b.text.shape == (8, loader.tokens.shape[1])
+    assert hasattr(b, "amp") and hasattr(b, "tox")
