@@ -235,7 +235,23 @@ def bench_class(cfg, model, params, n_per_round=5000, min_accepted=100,
     assert accepted >= min_accepted
     log(f"CLaSS: {accepted} accepted in {n_rounds} rounds "
         f"({n_rounds * n_per_round} decoded) in {dt:.2f}s")
-    return accepted / dt
+    rate = accepted / dt
+
+    # same work, batched: the tunnel serializes dispatches (~150 ms each),
+    # so executing the 10 rounds as ONE program amortizes the round trip
+    _, _, accept, tokens = fused_round(model, params, key, Q,
+                                       n_per_round * n_rounds)
+    jax.block_until_ready(tokens)
+    t0 = time.perf_counter()
+    _, _, accept, tokens = fused_round(
+        model, params, jax.random.fold_in(key, 99), Q,
+        n_per_round * n_rounds)
+    jax.block_until_ready(tokens)
+    dt_b = time.perf_counter() - t0
+    acc_b = int(jnp.sum(accept))
+    log(f"CLaSS batched (10 rounds/dispatch): {acc_b} accepted "
+        f"({n_rounds * n_per_round} decoded) in {dt_b:.2f}s")
+    return rate, acc_b / dt_b
 
 
 def main():
@@ -261,8 +277,12 @@ def main():
 
     details = {}
     kw = dict(n_per_round=1000, min_accepted=20) if args.fast else {}
-    v_class = bench_class(cfg, model, params, **kw)
+    v_loop, v_class = bench_class(cfg, model, params, **kw)
+    # headline = the batched execution (identical candidate workload —
+    # 10x5000 drawn/scored/beam-decoded — in one program; the per-round
+    # dispatch loop is kept in details for comparison)
     details["class_accepted_samples_per_sec"] = v_class
+    details["class_accepted_samples_per_sec_round_loop"] = v_loop
     if args.all:
         details["wae_train_steps_per_sec"] = bench_train(
             cfg, model, params, n_steps=30 if args.fast else 100)

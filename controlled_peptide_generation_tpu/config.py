@@ -303,6 +303,10 @@ def default_config():
         donate_state=True,    # donate train-state buffers to the jitted step
         unroll=10,            # optimizer steps per device dispatch (train)
         fused_rounds=True,    # CLaSS: rejection+decode fused into one jit
+        rounds_per_dispatch=1,  # CLaSS rounds drawn per device dispatch
+        gen_dtype="bfloat16",  # CLaSS decode compute dtype (MXU-native;
+                               # rejection + beam scores stay fp32);
+                               # set float32 for bit-parity with the API
         profile_dir="",       # non-empty: jax.profiler trace of hot loops
         heldout_eval=True,    # heldout recon/KL at checkpoint boundaries
     )

@@ -22,23 +22,37 @@ from ..ops.beam import beam_search
 from . import gmm as gmm_mod
 
 
-@partial(jax.jit, static_argnames=("model", "kind", "n", "beam_size"))
+@partial(jax.jit, static_argnames=("model", "kind", "n", "beam_size",
+                                   "decode_dtype"))
 def _fused_round(model, params, key, kind, q_params, clf_w, clf_b, targets,
-                 n, beam_size=5):
+                 n, beam_size=5, decode_dtype="bfloat16"):
     kz, ku, kc = jax.random.split(key, 3)
     cov_type = kind.split("_", 1)[1]
+    # rejection math stays fp32 (acceptance probabilities are the product
+    # of sigmoid heads — precision matters for acceptance-rate parity)
     z = gmm_mod.sample(kz, q_params, n, cov_type)
     p1 = jax.nn.sigmoid(z @ clf_w.T + clf_b[None, :])
     probs = jnp.where(targets[None, :] == 1, p1, 1.0 - p1)
     accum = jnp.prod(probs, axis=1)
     accept = jax.random.uniform(ku, (n,)) < accum
     c = model.sample_c_prior(kc, n)
-    hyps, scores = beam_search(model, params, z, c, beam_size=beam_size,
-                               n_best=1)
+    # the beam decode runs in the MXU-native dtype (measured ~7x on the
+    # T=25 GRU recurrence at these shapes); beam score bookkeeping is
+    # fp32 inside beam_search regardless (logits cast before log_softmax)
+    dt = jnp.dtype(decode_dtype)
+    if dt != jnp.float32:
+        dec_params = jax.tree.map(
+            lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, params)
+        z_d, c_d = z.astype(dt), c.astype(dt)
+    else:
+        dec_params, z_d, c_d = params, z, c
+    hyps, scores = beam_search(model, dec_params, z_d, c_d,
+                               beam_size=beam_size, n_best=1)
     return z, c, probs, accum, accept, hyps[:, 0, :]
 
 
-def fused_round(model, params, key, Q, n, beam_size=5, prefix="clfZ"):
+def fused_round(model, params, key, Q, n, beam_size=5, prefix="clfZ",
+                decode_dtype="bfloat16"):
     """One dispatch: returns (z, scores dict, accept, tokens [n, T+1])."""
     names = sorted(Q.attr_clfs)
     clf_w = jnp.stack([Q.attr_clfs[a].w for a in names])
@@ -47,7 +61,7 @@ def fused_round(model, params, key, Q, n, beam_size=5, prefix="clfZ"):
     kind, q_params = Q._sampler()
     z, c, probs, accum, accept, tokens = _fused_round(
         model, params, key, kind, q_params, clf_w, clf_b, targets, n,
-        beam_size)
+        beam_size, decode_dtype)
     scores = {f"{prefix}_prob_accum": accum}
     for i, a in enumerate(names):
         scores[f"{prefix}_{a}={Q.clf_targets[a]}"] = probs[:, i]

@@ -160,7 +160,9 @@ def beam_search(model, params, z, c, beam_size=5, n_best=3, min_length=1,
         logits, h_new = model.decode_step(
             params, state.prev.reshape(B * K), None, z_flat, c_flat,
             h_flat)
-        logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
+        # score bookkeeping is always fp32, whatever dtype the decoder ran in
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32),
+                                  axis=-1).reshape(B, K, V)
         done = state.eos_top & (state.fin_cnt >= n_best)
 
         (best, next_y, prev_k, adv, fin_cnt, fin_score, fin_t, fin_k,
@@ -237,7 +239,8 @@ def beam_search_logits(all_logits, beam_size=5, n_best=3, min_length=1):
     logits_tm = jnp.swapaxes(all_logits, 0, 1)          # [T, B, V]
 
     def step(state, logits_t):
-        logp1 = jax.nn.log_softmax(logits_t, axis=-1)   # [B, V]
+        logp1 = jax.nn.log_softmax(logits_t.astype(jnp.float32),
+                                   axis=-1)             # [B, V]
         logp = jnp.broadcast_to(logp1[:, None, :], (B, K, V))
         done = state.eos_top & (state.fin_cnt >= n_best)
         (best, next_y, prev_k, adv, fin_cnt, fin_score, fin_t, fin_k,

@@ -55,6 +55,8 @@ def sample_sentences(model, params, key, z, c,
         tok, softix, h, finished = carry
         logits, h = model.decode_step(params, tok, softix if soft else None,
                                       z, c, h)
+        # sampling math in fp32 whatever dtype the decoder ran in
+        logits = logits.astype(jnp.float32)
         if prevent_empty:
             # mask specials on the first step only (model.py:299-305)
             large_neg = -2.0 * jnp.abs(jnp.min(logits))

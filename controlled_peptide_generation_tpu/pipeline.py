@@ -181,7 +181,8 @@ def get_new_samples(cfg, model, params, dataset, Q, n_samples, key,
     if fused:
         from .latent.fused import fused_round
         samples_z, scores_z, accept_z, tokens = fused_round(
-            model, params, key, Q, n_samples)
+            model, params, key, Q, n_samples,
+            decode_dtype=cfg.hw.get("gen_dtype", "bfloat16"))
         samples = dataset.idx2sentences(np.asarray(tokens),
                                         print_special_tokens=False)
     else:
@@ -278,17 +279,21 @@ def run(cfg, args):
         return not (len(df) < min_accepted
                     or df["accept"].sum() < min_accepted)
 
+    # rounds per device dispatch: the tunnel serializes dispatches
+    # (~150 ms RTT each), so drawing R rounds' worth of candidates in one
+    # program amortizes it (distribution-identical; host dedup unchanged)
+    rpd = max(int(cfg.hw.get("rounds_per_dispatch", 1)), 1)
     while not is_finished(samples, args.n_samples_acc):
         round_ix += 1
-        LOG.info("Round #%d", round_ix)
+        LOG.info("Round #%d (x%d per dispatch)", round_ix, rpd)
         new = one_sampling_round(cfg, model, params, dataset, Q,
-                                 args.n_samples_per_round,
+                                 args.n_samples_per_round * rpd,
                                  jax.random.fold_in(key, round_ix),
                                  fused=cfg.hw.get("fused_rounds", True))
         new = new.loc[new.peptide.drop_duplicates().index]
         new = new[~new["peptide"].isin(samples["peptide"])]
         samples = pd.concat([samples, new], ignore_index=True, sort=False)
-        dropped = args.n_samples_per_round - new.shape[0]
+        dropped = args.n_samples_per_round * rpd - new.shape[0]
         if dropped > 0:
             LOG.info("Dropped %d duplicate samples", dropped)
         LOG.info("Q_xi(z|a) rejection sampling acceptance rate: "

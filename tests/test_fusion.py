@@ -74,8 +74,11 @@ def test_fused_round_equals_composed_stages(setup):
 
     key = jax.random.PRNGKey(9)
     n = 64
+    # decode_dtype float32 here: this test asserts BIT-exact equality with
+    # the composed stages (the bf16 default is covered by the quality test)
     z, c, probs, accum, accept, tokens = _fused_round(
-        model, params, key, "gmm_diag", Q.params, clf_w, clf_b, targets, n)
+        model, params, key, "gmm_diag", Q.params, clf_w, clf_b, targets, n,
+        decode_dtype="float32")
 
     # recompute every stage from the same subkeys
     kz, ku, kc = jax.random.split(key, 3)
@@ -94,3 +97,66 @@ def test_fused_round_equals_composed_stages(setup):
                           n_best=1)
     np.testing.assert_array_equal(np.asarray(tokens),
                                   np.asarray(hyps[:, 0, :]))
+
+
+def test_bf16_decode_quality_vs_fp32():
+    """The CLaSS decode runs in bfloat16 (hw.gen_dtype). Quality gate:
+    the fp32-rescored log-prob of bf16-decoded beam hypotheses must be
+    within a small gap of the fp32-decoded ones (beam score bookkeeping is
+    fp32 in both cases)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from controlled_peptide_generation_tpu import config as C
+    from controlled_peptide_generation_tpu.models import build_model
+    from controlled_peptide_generation_tpu.ops import losses as L
+    from controlled_peptide_generation_tpu.ops.beam import beam_search
+    from controlled_peptide_generation_tpu.train.train_vae import (
+        make_train_step)
+
+    cfg = C.default_config()
+    cfg.vae.update(cfg.shared)
+    cfg.model.z_dim = 12
+    cfg.model.emb_dim = 16
+    cfg.model.E_args.h_dim = 8
+    model = build_model(cfg.model, n_vocab=14, max_seq_len=10)
+    params = model.init_params(jax.random.PRNGKey(0))
+    # train briefly so logits aren't uniform noise
+    rf = L.init_rf_basis(jax.random.PRNGKey(1), model.z_dim,
+                         cfg.losses.wae_mmd.rf_dim)
+    step, opt = make_train_step(model, cfg.vae, cfg.losses, rf,
+                                donate=False)
+    o = opt.init(params)
+    key = jax.random.PRNGKey(2)
+    for it in range(30):
+        toks = jax.random.randint(jax.random.fold_in(key, it), (32, 10),
+                                  4, 14, jnp.int32).at[:, 0].set(2)
+        params, o, _ = step(params, o, jax.random.fold_in(key, it), toks,
+                            jnp.asarray(it, jnp.int32))
+
+    B = 64
+    z = model.sample_z_prior(jax.random.PRNGKey(5), B)
+    c = model.sample_c_prior(jax.random.PRNGKey(6), B)
+    p16 = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        params)
+
+    def rescore(toks):
+        lg = model.decode_train(params, jax.random.PRNGKey(0),
+                                toks[:, :-1], z, c, train=False)
+        lp = jax.nn.log_softmax(lg, axis=-1)
+        tgt = toks[:, 1:]
+        pick = jnp.take_along_axis(lp, tgt[:, :, None], axis=2)[..., 0]
+        from controlled_peptide_generation_tpu.data.vocab import (
+            EOS_IDX, PAD_IDX)
+        live = tgt != PAD_IDX
+        return jnp.sum(jnp.where(live, pick, 0.0), axis=1)
+
+    h32, _ = beam_search(model, params, z, c, beam_size=5, n_best=1)
+    h16, _ = beam_search(model, p16, z.astype(jnp.bfloat16),
+                         c.astype(jnp.bfloat16), beam_size=5, n_best=1)
+    s32 = np.asarray(rescore(h32[:, 0]))
+    s16 = np.asarray(rescore(h16[:, 0]))
+    # mean fp32-rescored quality gap under bf16 decode: small
+    gap = float(np.mean(s32 - s16))
+    assert gap < 0.25, (gap, s32.mean(), s16.mean())
