@@ -22,10 +22,10 @@ from ..ops.beam import beam_search
 from . import gmm as gmm_mod
 
 
-@partial(jax.jit, static_argnames=("model", "kind", "n", "beam_size",
-                                   "decode_dtype"))
-def _fused_round(model, params, key, kind, q_params, clf_w, clf_b, targets,
-                 n, beam_size=5, decode_dtype="bfloat16"):
+def _round_body(model, params, key, kind, q_params, clf_w, clf_b, targets,
+                n, beam_size=5, decode_dtype="bfloat16"):
+    """The round computation, un-jitted: jitted directly for single-device
+    use (below) and wrapped with mesh shardings by parallel.dp_fused_round."""
     kz, ku, kc = jax.random.split(key, 3)
     cov_type = kind.split("_", 1)[1]
     # rejection math stays fp32 (acceptance probabilities are the product
@@ -49,6 +49,10 @@ def _fused_round(model, params, key, kind, q_params, clf_w, clf_b, targets,
     hyps, scores = beam_search(model, dec_params, z_d, c_d,
                                beam_size=beam_size, n_best=1)
     return z, c, probs, accum, accept, hyps[:, 0, :]
+
+
+_fused_round = partial(jax.jit, static_argnames=(
+    "model", "kind", "n", "beam_size", "decode_dtype"))(_round_body)
 
 
 def fused_round(model, params, key, Q, n, beam_size=5, prefix="clfZ",

@@ -138,6 +138,43 @@ def make_dp_train_scan(model, cfgv, cfg_losses, rf_basis, mesh, unroll,
     return train_chunk, optimizer
 
 
+def dp_fused_round(mesh, model, params, key, Q, n, beam_size=5,
+                   axis="data", decode_dtype="bfloat16", prefix="clfZ"):
+    """Whole CLaSS round — GMM draw, classifier heads, accept test,
+    c-prior and full-batch beam decode — as ONE program sharded over the
+    mesh batch axis. Each device owns n/D candidates end to end (the round
+    is embarrassingly parallel until the host-side dedup), so throughput
+    scales with the mesh; params are replicated and no collectives are
+    needed inside the round."""
+    from ..latent.fused import _round_body
+
+    n_dev = mesh.devices.size
+    assert n % n_dev == 0, f"round size {n} must divide over {n_dev} devices"
+    names = sorted(Q.attr_clfs)
+    clf_w = jnp.stack([Q.attr_clfs[a].w for a in names])
+    clf_b = jnp.stack([Q.attr_clfs[a].b for a in names])
+    targets = jnp.array([Q.clf_targets[a] for a in names])
+    kind, q_params = Q._sampler()
+
+    repl = NamedSharding(mesh, P())
+    out_sh = NamedSharding(mesh, P(axis))
+
+    def body(params, key, q_params, cw, cb, tg):
+        return _round_body(model, params, key, kind, q_params, cw, cb, tg,
+                           n, beam_size=beam_size,
+                           decode_dtype=decode_dtype)
+
+    fn = jax.jit(body,
+                 in_shardings=(repl, repl, repl, repl, repl, repl),
+                 out_shardings=(out_sh,) * 6)
+    z, c, probs, accum, accept, tokens = fn(
+        params, key, q_params, clf_w, clf_b, targets)
+    scores = {f"{prefix}_prob_accum": accum}
+    for i, a in enumerate(names):
+        scores[f"{prefix}_{a}={Q.clf_targets[a]}"] = probs[:, i]
+    return z, scores, accept, tokens
+
+
 def dp_rejection_round(mesh, sampler, clf_w, clf_b, targets, key, n,
                        axis="data"):
     """CLaSS rejection round sharded across the mesh: each device draws and
