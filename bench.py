@@ -26,12 +26,14 @@ import time
 
 logging.basicConfig(level=logging.WARNING)
 
-# measured via `python bench.py --platform cpu --all` on this host
+# measured via `python bench.py --platform cpu [--all]` on this host
 # (1-core CPU, see BASELINE.md). Conservative stand-ins for the reference:
 # this is OUR vectorized implementation on CPU, which is itself much faster
-# than the reference's per-sentence python beam loop.
+# than the reference's per-sentence python beam loop. The class baseline is
+# like-for-like with the headline protocol (batched rounds; fp32 decode —
+# the CPU's best configuration, bf16 would be emulated and unfairly slow).
 CPU_BASELINE = {
-    "class_accepted_samples_per_sec": 705.7,
+    "class_accepted_samples_per_sec": 324.0,
     "wae_train_steps_per_sec": 47.9,
     "beam_decode_seqs_per_sec": 2702.0,
 }
@@ -188,15 +190,22 @@ def bench_beam(cfg, model, params, chunk=1024, n_chunks=4, beam_size=5):
 
 
 def bench_class(cfg, model, params, n_per_round=5000, min_accepted=100,
-                n_components=100):
+                n_components=100, decode_dtype=None):
     """Full CLaSS loop at reference workload: mogQ fit excluded (setup),
-    rejection + beam decode of ALL candidates + accept bookkeeping timed."""
+    rejection + beam decode of ALL candidates + accept bookkeeping timed.
+
+    decode_dtype defaults to the platform's best configuration (bfloat16
+    on TPU, float32 on CPU) so the recorded CPU baseline is best-vs-best,
+    not handicapped by emulated bf16."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from controlled_peptide_generation_tpu.latent import density, logreg
     from controlled_peptide_generation_tpu.ops.beam import beam_search
 
+    if decode_dtype is None:
+        decode_dtype = ("bfloat16" if jax.devices()[0].platform != "cpu"
+                        else "float32")
     key = jax.random.PRNGKey(4)
     # synthetic latent corpus standing in for dumped encoder states
     mu = 0.5 * jax.random.normal(key, (5000, model.z_dim))
@@ -215,7 +224,8 @@ def bench_class(cfg, model, params, n_per_round=5000, min_accepted=100,
     from controlled_peptide_generation_tpu.latent.fused import fused_round
 
     # compile the fused round once (excluded from timing)
-    _, _, accept, tokens = fused_round(model, params, key, Q, n_per_round)
+    _, _, accept, tokens = fused_round(model, params, key, Q, n_per_round,
+                                       decode_dtype=decode_dtype)
     jax.block_until_ready(tokens)
 
     # steady-state: rounds are independent until the host-side dedup, so
@@ -227,7 +237,8 @@ def bench_class(cfg, model, params, n_per_round=5000, min_accepted=100,
     t0 = time.perf_counter()
     for r in range(n_rounds):
         _, _, accept, tokens = fused_round(
-            model, params, jax.random.fold_in(key, r + 1), Q, n_per_round)
+            model, params, jax.random.fold_in(key, r + 1), Q, n_per_round,
+            decode_dtype=decode_dtype)
         outs.append((accept, tokens))
     jax.block_until_ready(outs[-1][1])
     dt = time.perf_counter() - t0
@@ -240,12 +251,13 @@ def bench_class(cfg, model, params, n_per_round=5000, min_accepted=100,
     # same work, batched: the tunnel serializes dispatches (~150 ms each),
     # so executing the 10 rounds as ONE program amortizes the round trip
     _, _, accept, tokens = fused_round(model, params, key, Q,
-                                       n_per_round * n_rounds)
+                                       n_per_round * n_rounds,
+                                       decode_dtype=decode_dtype)
     jax.block_until_ready(tokens)
     t0 = time.perf_counter()
     _, _, accept, tokens = fused_round(
         model, params, jax.random.fold_in(key, 99), Q,
-        n_per_round * n_rounds)
+        n_per_round * n_rounds, decode_dtype=decode_dtype)
     jax.block_until_ready(tokens)
     dt_b = time.perf_counter() - t0
     acc_b = int(jnp.sum(accept))

@@ -131,8 +131,11 @@ class RNNVAE:
     # encoder / latent
     # ------------------------------------------------------------------
 
-    def encode(self, params, inputs):
-        """inputs: [B, T] int tokens or [B, T, V] soft one-hots."""
+    def encode(self, params, inputs, key=None, train=False):
+        """inputs: [B, T] int tokens or [B, T, V] soft one-hots.
+
+        key/train only matter for the transformer encoder's dropout (the
+        GRU encoder has no active dropout: single layer, torch semantics)."""
         from ..data.vocab import PAD_IDX
         if inputs.ndim == 2:
             emb = nn.embed(params["emb"], inputs)
@@ -148,6 +151,8 @@ class RNNVAE:
             return tfm.apply_encoder(
                 params["enc"], emb, pad_mask,
                 n_heads=t_args.get("n_heads", 4),
+                key=key, train=train,
+                p_dropout=t_args.get("p_dropout", 0.0),
                 bf16=t_args.get("bf16", False))
         return enc.apply(params["enc"], emb,
                          h_dim=self.E_args.get("h_dim", 80),
@@ -244,9 +249,9 @@ class RNNVAE:
     def forward(self, params, key, sequences, q_c="prior", sample_z=1,
                 labels=None, train=True):
         """Returns ((mu, logvar), (z, c), dec_logits)."""
-        kz, kc, kd = jax.random.split(key, 3)
+        kz, kc, kd, ke = jax.random.split(key, 4)
         mbsize = sequences.shape[0]
-        mu, logvar = self.encode(params, sequences)
+        mu, logvar = self.encode(params, sequences, key=ke, train=train)
         if sample_z == "max":
             z = mu
         else:

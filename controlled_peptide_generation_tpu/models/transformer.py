@@ -59,6 +59,16 @@ def _split_heads(x, n_heads):
     return x.reshape(B, S, n_heads, D // n_heads)
 
 
+def _cast_tree(p, dtype):
+    """Cast float32 leaves to the compute dtype (params stay fp32 at rest;
+    jnp would otherwise promote bf16 activations back to fp32 at every
+    matmul against fp32 weights, making the flag a silent no-op)."""
+    if dtype == jnp.float32:
+        return p
+    return jax.tree.map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, p)
+
+
 def _attention(q, k, v, mask):
     """q: [B, Sq, H, Dh], k/v: [B, Sk, H, Dh], mask: broadcastable to
     [B, H, Sq, Sk] (True = attend)."""
@@ -134,13 +144,13 @@ def apply_encoder(params, emb, pad_mask, n_heads=4, key=None,
     Pooling = masked mean over non-PAD positions (the transformer analog of
     the biGRU's last-state concat)."""
     B, T, _ = emb.shape
-    x = nn.linear(params["in"], emb) + params["pos"][:T]
-    if bf16:
-        x = x.astype(jnp.bfloat16)
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    blocks = _cast_tree(params["blocks"], dt)
+    x = (nn.linear(params["in"], emb) + params["pos"][:T]).astype(dt)
     mask = pad_mask[:, None, None, :]          # attend only to real tokens
-    keys = (jax.random.split(key, len(params["blocks"]))
-            if key is not None else [None] * len(params["blocks"]))
-    for p, k in zip(params["blocks"], keys):
+    keys = (jax.random.split(key, len(blocks))
+            if key is not None else [None] * len(blocks))
+    for p, k in zip(blocks, keys):
         x = _block_full(p, x, mask, n_heads, key=k,
                         p_dropout=p_dropout, train=train)
     x = _ln(params["ln_f"], x).astype(jnp.float32)
@@ -181,17 +191,18 @@ def apply_teacher_forced(params, emb_params, tokens, z, c, key, train,
     x_tok = nn.word_dropout(k_wd, tokens, p_word_dropout, UNK_IDX, train)
     emb = nn.embed(emb_params, x_tok)                    # [B, T, E]
     B, T, _ = emb.shape
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    blocks = _cast_tree(params["blocks"], dt)
     tok_in = nn.linear(params["in"], emb)                # [B, T, D]
     lat = nn.linear(params["latent"],
                     jnp.concatenate([z, c], axis=1))[:, None, :]
-    x = jnp.concatenate([lat, tok_in], axis=1) + params["pos"][:T + 1]
-    if bf16:
-        x = x.astype(jnp.bfloat16)
+    x = (jnp.concatenate([lat, tok_in], axis=1)
+         + params["pos"][:T + 1]).astype(dt)
     S = T + 1
     causal = (jnp.arange(S)[None, :] <= jnp.arange(S)[:, None])
     mask = causal[None, None, :, :]
-    keys = jax.random.split(k_blocks, len(params["blocks"]))
-    for p, k in zip(params["blocks"], keys):
+    keys = jax.random.split(k_blocks, len(blocks))
+    for p, k in zip(blocks, keys):
         x = _block_full(p, x, mask, n_heads, key=k,
                         p_dropout=p_dropout, train=train)
     x = _ln(params["ln_f"], x).astype(jnp.float32)
@@ -209,12 +220,13 @@ def init_cache(params, z, c, max_seq_len, n_heads=4, bf16=False):
     D = params["pos"].shape[1]
     S = max_seq_len + 1
     dt = jnp.bfloat16 if bf16 else jnp.float32
+    blocks = _cast_tree(params["blocks"], dt)
     x = (nn.linear(params["latent"], jnp.concatenate([z, c], axis=1))
          + params["pos"][0]).astype(dt)
     ck = jnp.zeros((B, L, S, D), dt)
     cv = jnp.zeros((B, L, S, D), dt)
     pos0 = jnp.zeros((B,), jnp.int32)
-    for li, p in enumerate(params["blocks"]):
+    for li, p in enumerate(blocks):
         x, k_l, v_l = _block_step(p, x, ck[:, li], cv[:, li], pos0, n_heads)
         ck = ck.at[:, li].set(k_l)
         cv = cv.at[:, li].set(v_l)
@@ -231,11 +243,11 @@ def apply_step(params, emb_params, token_hard, token_soft, z, c, cache,
     else:
         emb = nn.embed(emb_params, token_hard)
     pos = cache["pos"]
-    x = nn.linear(params["in"], emb) + params["pos"][pos]
-    if bf16:
-        x = x.astype(jnp.bfloat16)
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    blocks = _cast_tree(params["blocks"], dt)
+    x = (nn.linear(params["in"], emb) + params["pos"][pos]).astype(dt)
     ck, cv = cache["k"], cache["v"]
-    for li, p in enumerate(params["blocks"]):
+    for li, p in enumerate(blocks):
         x, k_l, v_l = _block_step(p, x, ck[:, li], cv[:, li], pos, n_heads)
         ck = ck.at[:, li].set(k_l)
         cv = cv.at[:, li].set(v_l)

@@ -129,6 +129,11 @@ def beam_search(model, params, z, c, beam_size=5, n_best=3, min_length=1,
     B, K = z.shape[0], beam_size
     V = model.n_vocab
     T = max_len if max_len is not None else model.max_seq_len
+    # pytree decoder states (transformer KV cache, position table) are
+    # allocated for model.max_seq_len steps — longer decodes would
+    # silently clamp scatter/gather indices and corrupt the tail
+    assert T <= model.max_seq_len, (
+        f"max_len {T} exceeds model.max_seq_len {model.max_seq_len}")
     F = K * T + n_best
 
     z_flat = jnp.repeat(z, K, axis=0)          # [B*K] batch-major lanes

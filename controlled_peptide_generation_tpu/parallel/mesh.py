@@ -138,6 +138,9 @@ def make_dp_train_scan(model, cfgv, cfg_losses, rf_basis, mesh, unroll,
     return train_chunk, optimizer
 
 
+_dp_round_cache = {}  # (mesh, model, kind, n, ...) -> jitted round fn
+
+
 def dp_fused_round(mesh, model, params, key, Q, n, beam_size=5,
                    axis="data", decode_dtype="bfloat16", prefix="clfZ"):
     """Whole CLaSS round — GMM draw, classifier heads, accept test,
@@ -156,17 +159,22 @@ def dp_fused_round(mesh, model, params, key, Q, n, beam_size=5,
     targets = jnp.array([Q.clf_targets[a] for a in names])
     kind, q_params = Q._sampler()
 
-    repl = NamedSharding(mesh, P())
-    out_sh = NamedSharding(mesh, P(axis))
+    cache_key = (id(mesh), id(model), kind, n, beam_size, decode_dtype,
+                 axis)
+    fn = _dp_round_cache.get(cache_key)
+    if fn is None:
+        repl = NamedSharding(mesh, P())
+        out_sh = NamedSharding(mesh, P(axis))
 
-    def body(params, key, q_params, cw, cb, tg):
-        return _round_body(model, params, key, kind, q_params, cw, cb, tg,
-                           n, beam_size=beam_size,
-                           decode_dtype=decode_dtype)
+        def body(params, key, q_params, cw, cb, tg):
+            return _round_body(model, params, key, kind, q_params, cw, cb,
+                               tg, n, beam_size=beam_size,
+                               decode_dtype=decode_dtype)
 
-    fn = jax.jit(body,
-                 in_shardings=(repl, repl, repl, repl, repl, repl),
-                 out_shardings=(out_sh,) * 6)
+        fn = jax.jit(body,
+                     in_shardings=(repl, repl, repl, repl, repl, repl),
+                     out_shardings=(out_sh,) * 6)
+        _dp_round_cache[cache_key] = fn
     z, c, probs, accum, accept, tokens = fn(
         params, key, q_params, clf_w, clf_b, targets)
     scores = {f"{prefix}_prob_accum": accum}

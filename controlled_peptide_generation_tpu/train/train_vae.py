@@ -57,8 +57,8 @@ def make_loss_fn(model, cfgv, mmd_cfg, rf_basis):
     def loss_fn(params, key, text, beta):
         k_fwd, k_mmd, k_rf, k_basis = jax.random.split(key, 4)
         if use_flow:
-            kz, kc, kd = jax.random.split(k_fwd, 3)
-            mu, logvar = model.encode(params, text)
+            kz, kc, kd, ke = jax.random.split(k_fwd, 4)
+            mu, logvar = model.encode(params, text, key=ke, train=True)
             z0 = model.sample_z(kz, mu, logvar)
             z, logdet = model.apply_flow(params, z0)
             c = model.sample_c_prior(kc, text.shape[0])

@@ -30,7 +30,8 @@ from controlled_peptide_generation_tpu.generation import generate_sentences  # n
 from controlled_peptide_generation_tpu.utils import logging as tblog  # noqa: E402
 from controlled_peptide_generation_tpu.utils.io import (  # noqa: E402
     write_gen_samples, write_fasta)
-from controlled_peptide_generation_tpu.api import interpolate_z  # noqa: E402
+from controlled_peptide_generation_tpu.api import (  # noqa: E402
+    generate_interpolated_samples)
 
 logging.basicConfig(
     level=logging.INFO,
@@ -86,18 +87,19 @@ def write_phase2_artifacts(cfg, model, params, dataset, n=32):
         write_gen_samples(sents, cfg.full.posz_samples_path)
         write_fasta(sents, cfg.full.fasta_pos_samples_path)
 
-    # interpolation between two prior latents
+    # interpolation between two prior latents (via the inference API's
+    # interpolation path so CLI artifacts and API can't drift apart)
     za = model.sample_z_prior(jax.random.fold_in(key, 6), 1)
     zb = model.sample_z_prior(jax.random.fold_in(key, 7), 1)
-    z_list, weights = interpolate_z(za, zb, method="tanh", n_samples=9)
-    seqs, _, _ = generate_sentences(model, params,
-                                    jax.random.fold_in(key, 8),
-                                    z_list.shape[0],
-                                    z=jnp.asarray(z_list, jnp.float32),
-                                    sample_mode="greedy")
-    sents = dataset.idx2sentences(np.asarray(seqs), False)
-    write_gen_samples([f"w={w:.2f}: {s}" for w, s in zip(weights, sents)],
-                      cfg.full.interp_samples_path)
+    res = generate_interpolated_samples(
+        model, params, dataset.vocab, za, zb,
+        interpolation_method="tanh", interpolation_samples=9,
+        key=jax.random.fold_in(key, 8), sample_mode="greedy",
+        print_special_tokens=False)
+    write_gen_samples(
+        [f"w={w:.2f}: {' '.join(p[0])}"
+         for w, p in zip(res["interpolation"], res["predictions"])],
+        cfg.full.interp_samples_path)
 
     gen_sents = None
     if os.path.exists(cfg.full.gen_samples_path):
@@ -140,11 +142,9 @@ def main(argv=None):
         samples, _, _ = generate_sentences(
             model, params, jax.random.PRNGKey(cfg.seed + 1),
             cfg.evals.sample_size, sample_mode="categorical")
-        write_gen_samples(
-            dataset.idx2sentences(np.asarray(samples), False),
-            cfg.vae.gen_samples_path)
-        write_fasta(dataset.idx2sentences(np.asarray(samples), False),
-                    cfg.vae.fasta_gen_samples_path)
+        sents = dataset.idx2sentences(np.asarray(samples), False)
+        write_gen_samples(sents, cfg.vae.gen_samples_path)
+        write_fasta(sents, cfg.vae.fasta_gen_samples_path)
 
     if cfg.phase in (2, -1):
         # phase-2 controlled-generation training. When running phase 2

@@ -70,11 +70,21 @@ def test_encoder_ignores_pad_positions():
     toks = rand_tokens(key, 2)
     toks = toks.at[:, 6:].set(PAD_IDX)
     mu1, lv1 = model.encode(params, toks)
-    # garbage beyond the PAD boundary must not change the encoding
-    toks2 = toks.at[:, 6:].set(5).at[:, 6:].set(
-        jnp.where(jnp.arange(T)[6:] % 2 == 0, 7, 9))
-    toks2 = toks.at[:, 6:].set(PAD_IDX)  # same; sanity
-    mu2, lv2 = model.encode(params, toks2)
+    # the attention mask must silence PAD positions: replacing the PAD
+    # tail with garbage tokens while keeping the mask's view of "real"
+    # positions... is impossible through encode(), so instead check via
+    # apply_encoder directly with a fixed pad_mask and differing tails
+    from controlled_peptide_generation_tpu.models import transformer as tfm
+    from controlled_peptide_generation_tpu.ops import nn as nn_ops
+    pad_mask = jnp.asarray(np.asarray(toks != PAD_IDX))
+    emb1 = nn_ops.embed(params["emb"], toks)
+    garbage = toks.at[:, 6:].set(7)
+    emb2 = nn_ops.embed(params["emb"], garbage)
+    m1 = tfm.apply_encoder(params["enc"], emb1, pad_mask, n_heads=2)
+    m2 = tfm.apply_encoder(params["enc"], emb2, pad_mask, n_heads=2)
+    np.testing.assert_allclose(np.asarray(m1[0]), np.asarray(m2[0]),
+                               atol=1e-5)
+    mu2, lv2 = model.encode(params, toks)
     np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2), atol=1e-6)
     # and a DIFFERENT real prefix must change it
     toks3 = toks.at[:, 2].set(jnp.where(toks[:, 2] == 4, 5, 4))
