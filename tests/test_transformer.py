@@ -164,3 +164,32 @@ def test_forward_and_train_step_learn(E_class, G_class):
                                toks, jnp.asarray(it, jnp.int32))
         losses.append(float(m["L_vae_recon"]))
     assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+
+
+def test_bf16_flag_actually_computes_bf16():
+    """T_args.bf16 must run the blocks in bfloat16 (params cast at use),
+    and stay numerically close to the fp32 path."""
+    cfg, model, params = tfm_model()
+    cfg16 = C.default_config()
+    cfg16.model.update(cfg.model.copy())
+    cfg16.model.E_args.T_args.bf16 = True
+    cfg16.model.G_args.T_args.bf16 = True
+    model16 = build_model(cfg16.model, n_vocab=V, max_seq_len=T)
+
+    key = jax.random.PRNGKey(11)
+    toks = rand_tokens(key, 4)
+    mu32, _ = model.encode(params, toks)
+    mu16, _ = model16.encode(params, toks)
+    # same params, different compute dtype: close but NOT identical
+    # (bit-identical would mean the flag is still a no-op)
+    np.testing.assert_allclose(np.asarray(mu16), np.asarray(mu32),
+                               rtol=0.05, atol=0.05)
+    assert not np.array_equal(np.asarray(mu16), np.asarray(mu32))
+
+    z = model.sample_z_prior(key, 4)
+    c = model.sample_c_prior(key, 4)
+    lg32 = model.decode_train(params, key, toks, z, c, train=False)
+    lg16 = model16.decode_train(params, key, toks, z, c, train=False)
+    np.testing.assert_allclose(np.asarray(lg16), np.asarray(lg32),
+                               rtol=0.2, atol=0.2)
+    assert not np.array_equal(np.asarray(lg16), np.asarray(lg32))
