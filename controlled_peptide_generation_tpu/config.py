@@ -309,6 +309,7 @@ def default_config():
                                # set float32 for bit-parity with the API
         profile_dir="",       # non-empty: jax.profiler trace of hot loops
         heldout_eval=True,    # heldout recon/KL at checkpoint boundaries
+        log_flush_every=10,   # cheaplog boundaries per host metric fetch
     )
 
     # dataset switch (cfg.py:304-372)

@@ -213,13 +213,55 @@ def train_full(cfg, model, dataset, params, logger=None,
         return (j % cfgf.cheaplog_every == 0
                 or j % cfgf.expsvlog_every == 0)
 
+    # metric fetches are DEFERRED: device metrics queue up and are pulled
+    # in batches, so a cheaplog boundary costs a host round trip only every
+    # `flush_every` boundaries instead of every one (the fetch RTT on a
+    # remote TPU is ~100x the step time). Values and steps logged are
+    # exactly the boundary ones — only their materialization is delayed.
+    flush_every = max(int(cfg.hw.get("log_flush_every", 10)), 1)
+    pending = []
+
+    def flush():
+        if not pending:
+            return
+        # ONE stacked transfer for the whole batch of boundaries — each
+        # individual float() would pay a full device round trip
+        korder = sorted(pending[0][1])
+        rows = np.asarray(jnp.stack(
+            [jnp.stack([m[k] for k in korder]) for _, m in pending]))
+        for (p_it, _), row in zip(pending, rows):
+            vals = dict(zip(korder, (float(x) for x in row)))
+            if logger is not None:
+                for k, v in vals.items():
+                    logger.log_value("full_" + k, v, p_it)
+            log.info("ITER %d (phase 2). L_vae: %.4f; attr_c: %.4f; "
+                     "attr_z: %.4f; clf_sup: %.4f; clf_acc: %.3f",
+                     p_it, vals["L_vae"], vals["L_attr_c"],
+                     vals["L_attr_z"], vals["L_clf_sup"], vals["clf_acc"])
+        pending.clear()
+
+    def do_host(it, metrics):
+        cheap = it % cfgf.cheaplog_every == 0
+        expsv = it % cfgf.expsvlog_every == 0
+        if cheap or expsv:
+            pending.append((it, metrics))
+            if len(pending) >= flush_every or expsv:
+                flush()
+        if expsv and it > cfgf.s_iter:
+            checkpoints.save(cfgf.chkpt_path.format(it),
+                             {"params": params, "step": jnp.asarray(it)})
+            log.info("Saved model to %s", cfgf.chkpt_path.format(it))
+
     it = cfgf.s_iter
     end_it = cfgf.s_iter + cfgf.n_iter
     while it <= end_it:
-        # unrolled chunk whenever no step inside it needs the host; RNG
-        # streams and batch order identical to the step-by-step path
+        # unrolled chunk whenever no step inside it needs the host EXCEPT
+        # possibly the last one — its metrics/params come back from the
+        # chunk, so host boundaries never fall back to the single-step
+        # program (alternating executables costs a program swap on remote
+        # backends). RNG streams and batch order identical either way.
         if (unroll > 1 and it + unroll - 1 <= end_it
-                and not any(needs_host(it + j) for j in range(unroll))):
+                and not any(needs_host(it + j) for j in range(unroll - 1))):
             texts, lab_texts, lab_ys = [], [], []
             for _ in range(unroll):
                 texts.append(dataset.next_batch("train_vae").text)
@@ -233,6 +275,9 @@ def train_full(cfg, model, dataset, params, logger=None,
                 jnp.asarray(np.stack(lab_ys)),
                 jnp.asarray(it, jnp.int32))
             n_done += unroll
+            it_last = it + unroll - 1
+            if needs_host(it_last):
+                do_host(it_last, metrics)   # chunk returns last-step metrics
             it += unroll
             continue
         batch = dataset.next_batch("train_vae")
@@ -243,23 +288,9 @@ def train_full(cfg, model, dataset, params, logger=None,
             jnp.asarray(batch.text), jnp.asarray(lab.text),
             jnp.asarray(lab_y), jnp.asarray(it, jnp.int32))
         n_done += 1
-
-        cheap = it % cfgf.cheaplog_every == 0
-        expsv = it % cfgf.expsvlog_every == 0
-        if cheap or expsv:
-            vals = {k: float(v) for k, v in metrics.items()}
-            if logger is not None:
-                for k, v in vals.items():
-                    logger.log_value("full_" + k, v, it)
-            log.info("ITER %d (phase 2). L_vae: %.4f; attr_c: %.4f; "
-                     "attr_z: %.4f; clf_sup: %.4f; clf_acc: %.3f",
-                     it, vals["L_vae"], vals["L_attr_c"], vals["L_attr_z"],
-                     vals["L_clf_sup"], vals["clf_acc"])
-        if expsv and it > cfgf.s_iter:
-            checkpoints.save(cfgf.chkpt_path.format(it),
-                             {"params": params, "step": jnp.asarray(it)})
-            log.info("Saved model to %s", cfgf.chkpt_path.format(it))
+        do_host(it, metrics)
         it += 1
 
+    flush()
     jax.block_until_ready(params)
     return params, n_done / max(time.time() - t_start, 1e-9)

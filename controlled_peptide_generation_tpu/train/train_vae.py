@@ -296,45 +296,51 @@ def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
     profile_stack.enter_context(
         trace(cfg.hw.get("profile_dir", ""),
               enabled=bool(cfg.hw.get("profile_dir", ""))))
-    it = cfgv.s_iter
-    end_it = cfgv.s_iter + cfgv.n_iter
-    while it <= end_it:
-        # take an unrolled chunk whenever no step inside it needs the host;
-        # RNG streams and batch order are identical either way
-        if (unroll > 1 and it + unroll - 1 <= end_it
-                and not any(needs_host(it + j) for j in range(unroll))):
-            texts = np.stack([dataset.next_batch("train_vae").text
-                              for _ in range(unroll)])
-            params, opt_state, metrics = train_chunk(
-                params, opt_state, k_steps, place_chunk(texts),
-                jnp.asarray(it, jnp.int32))
-            it += unroll
-            continue
-        batch = dataset.next_batch("train_vae")
-        params, opt_state, metrics = train_step(
-            params, opt_state, jax.random.fold_in(k_steps, it),
-            place_batch(batch.text), jnp.asarray(it, jnp.int32))
+    # metric/sample fetches are DEFERRED: the boundary dispatches the log
+    # sample asynchronously and queues the device metrics; host round trips
+    # happen only every `flush_every` boundaries (fetch RTT on a remote TPU
+    # is ~100x the step time). Logged values/steps are exactly the
+    # boundary ones — only their materialization is delayed.
+    flush_every = max(int(cfg.hw.get("log_flush_every", 10)), 1)
+    pending = []
 
-        cheap = it % cfgv.cheaplog_every == 0
-        expsv = it % cfgv.expsvlog_every == 0
-        if cheap or expsv:
-            vals = {k: float(v) for k, v in metrics.items()}
+    def flush():
+        if not pending:
+            return
+        # ONE stacked transfer per flush for metrics and one for the log
+        # samples — each individual float()/asarray would pay a full
+        # device round trip
+        korder = sorted(pending[0][1])
+        rows = np.asarray(jnp.stack(
+            [jnp.stack([m[k] for k in korder]) for _, m, _ in pending]))
+        sents = np.asarray(jnp.stack([s for _, _, s in pending]))
+        for (p_it, _, _), row, p_sent in zip(pending, rows, sents):
+            vals = dict(zip(korder, (float(x) for x in row)))
             if logger is not None:
                 for k in ("z_mu_L1", "z_logvar", "z_logvar_L1",
                           "z_logvar_KL_penalty", "L_vae", "L_vae_recon",
                           "L_vae_kl", "L_wae_mmd", "L_wae_mmdrf", "beta"):
-                    logger.log_value("train_" + k, vals[k], it)
+                    logger.log_value("train_" + k, vals[k], p_it)
             log.info(
                 "ITER %d TRAINING (phase 1). loss_vae: %.4f; loss_recon: "
                 "%.4f; loss_kl: %.4f; loss_mmd: %.4f; Grad_norm: %.4e",
-                it, vals["L_vae"], vals["L_vae_recon"], vals["L_vae_kl"],
+                p_it, vals["L_vae"], vals["L_vae_recon"], vals["L_vae_kl"],
                 vals["L_wae_mmd"], vals["grad_norm"])
+            log.info('Sample (cat T=1.0): "%s"',
+                     dataset.idx2sentence(p_sent[0]))
+        pending.clear()
+        sys.stdout.flush()
+
+    def do_host(it, metrics):
+        cheap = it % cfgv.cheaplog_every == 0
+        expsv = it % cfgv.expsvlog_every == 0
+        if cheap or expsv:
             sent, _, _ = generate_sentences(
                 model, params, jax.random.fold_in(k_steps, 2**31 + it), 1,
                 sample_mode="categorical")
-            log.info('Sample (cat T=1.0): "%s"',
-                     dataset.idx2sentence(np.asarray(sent)[0]))
-            sys.stdout.flush()
+            pending.append((it, metrics, sent))
+            if len(pending) >= flush_every or expsv:
+                flush()
         if expsv and it > cfgv.s_iter:
             state = {"params": params, "opt": opt_state,
                      "step": jnp.asarray(it)}
@@ -352,8 +358,35 @@ def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
                              hld["recon"], hld["kl"])
             if on_checkpoint is not None:
                 on_checkpoint(it, params)
+
+    it = cfgv.s_iter
+    end_it = cfgv.s_iter + cfgv.n_iter
+    while it <= end_it:
+        # take an unrolled chunk whenever no step inside it needs the host
+        # EXCEPT possibly the last one — its metrics/params come back from
+        # the chunk, so host boundaries stay on the chunk program instead
+        # of swapping to the single-step executable. RNG streams and batch
+        # order are identical either way.
+        if (unroll > 1 and it + unroll - 1 <= end_it
+                and not any(needs_host(it + j) for j in range(unroll - 1))):
+            texts = np.stack([dataset.next_batch("train_vae").text
+                              for _ in range(unroll)])
+            params, opt_state, metrics = train_chunk(
+                params, opt_state, k_steps, place_chunk(texts),
+                jnp.asarray(it, jnp.int32))
+            it_last = it + unroll - 1
+            if needs_host(it_last):
+                do_host(it_last, metrics)  # chunk returns last-step metrics
+            it += unroll
+            continue
+        batch = dataset.next_batch("train_vae")
+        params, opt_state, metrics = train_step(
+            params, opt_state, jax.random.fold_in(k_steps, it),
+            place_batch(batch.text), jnp.asarray(it, jnp.int32))
+        do_host(it, metrics)
         it += 1
 
+    flush()
     jax.block_until_ready(params)
     profile_stack.close()
     steps_per_sec = (cfgv.n_iter + 1 - (it_start - cfgv.s_iter)) / max(
