@@ -87,6 +87,7 @@ def extract_from_dataset(model, params, vocab, cfg, dataset, base_folder,
         batch = dataset._make_batch(all_idx)
         text = batch.text
         mus, logvars, zs = [], [], []
+        takes = []
         for s in range(0, len(all_idx), CHUNK):
             chunk = text[s:s + CHUNK]
             pad = CHUNK - chunk.shape[0]
@@ -95,10 +96,16 @@ def extract_from_dataset(model, params, vocab, cfg, dataset, base_folder,
                     [chunk, np.zeros((pad,) + chunk.shape[1:],
                                      chunk.dtype)])
             mu, logvar, z = encode_batch(jnp.asarray(chunk))
-            take = CHUNK - pad
-            mus.append(np.asarray(mu)[:take])
-            logvars.append(np.asarray(logvar)[:take])
-            zs.append(np.asarray(z)[:take])
+            takes.append(CHUNK - pad)
+            mus.append(mu)        # stay on device; dispatches queue async
+            logvars.append(logvar)
+            zs.append(z)
+        # one stacked transfer per tensor instead of one per chunk (each
+        # host fetch pays a full device round trip)
+        mus, logvars, zs = (
+            [np.asarray(r)[:t] for r, t in zip(np.asarray(jnp.stack(parts)),
+                                               takes)]
+            for parts in (mus, logvars, zs))
         labels = np.stack([getattr(batch, a) for a in attr_names], axis=1)
         rows = {
             "src": text,
