@@ -193,3 +193,34 @@ def test_bf16_flag_actually_computes_bf16():
     np.testing.assert_allclose(np.asarray(lg16), np.asarray(lg32),
                                rtol=0.2, atol=0.2)
     assert not np.array_equal(np.asarray(lg16), np.asarray(lg32))
+
+
+def test_transformer_cli_end_to_end(tmp_path):
+    """Tiny phase-1 run + static-eval battery with the transformer family
+    selected via CLI flags (the full user path, not just unit APIs)."""
+    import main as main_mod
+    import static_eval as se_mod
+    from controlled_peptide_generation_tpu.api import (
+        get_model_and_vocab_path, load_trained_model, load_vocab)
+
+    argv = ["--tiny", "1", "--dataset", "synthetic", "--runname", "tfm",
+            "--phase", "1",
+            "--model.E_args.E_class", "transformer",
+            "--model.G_args.G_class", "transformer",
+            "--model.E_args.T_args.d_model", "32",
+            "--model.E_args.T_args.d_ff", "64",
+            "--model.G_args.T_args.d_model", "32",
+            "--model.G_args.T_args.d_ff", "64",
+            "--savepath_toplevel", str(tmp_path / "out"),
+            "--tb_toplevel", str(tmp_path / "tb"),
+            "--datapath", str(tmp_path / "data")]
+    cfg = main_mod.main(argv)
+    import os
+    assert os.path.exists(cfg.vae.gen_samples_path)
+
+    model_path, vocab_path, _ = get_model_and_vocab_path(cfg)
+    vocab = load_vocab(vocab_path)
+    model, params = load_trained_model(model_path, vocab.size(), cfg)
+    assert model.G_class == "transformer"
+    se_mod.test_sampling(model, params, vocab, n_samples=2)
+    se_mod.test_reconstruction(model, params, vocab, "M K T A, K L L K")
