@@ -114,3 +114,36 @@ def test_vis_diagnostics(trained_run):
     attrs = C.dataset_spec(cfg)["attributes"]
     res = kde.eval(fnames, attrs)
     assert res  # produced at least one subset diagnostic
+
+
+def test_part_resume_contract(tmp_path):
+    """part/partN split training (reference cfg.py:93-101,112-117): part 0
+    trains the first slice; part 1 auto-loads part 0's final checkpoint and
+    CONTINUES (Adam moments included — the reference silently reset them).
+
+    Not combined with --tiny: the reference applies the partN split BEFORE
+    the tiny profile overwrites n_iter (cfg.py:86-104), making tiny+partN
+    incoherent there too — we preserve that ordering, so the test drives
+    explicit small iteration counts instead."""
+    base = ["--dataset", "synthetic", "--runname", "parts",
+            "--phase", "1", "--partN", "2",
+            "--vae.n_iter", "40", "--vae.expsvlog_every", "20",
+            "--vae.cheaplog_every", "10", "--vae.batch_size", "5",
+            "--evals.sample_size", "8", "--resume_result_json", "0",
+            "--savepath_toplevel", str(tmp_path / "out"),
+            "--tb_toplevel", str(tmp_path / "tb"),
+            "--datapath", str(tmp_path / "data")]
+    cfg0 = main_mod.main(base + ["--part", "0"])
+    assert cfg0.vae.s_iter == 0 and cfg0.vae.n_iter == 20
+    assert os.path.exists(cfg0.vae.chkpt_path.format(20))
+    assert not os.path.exists(cfg0.vae.chkpt_path.format(40))
+
+    cfg1 = main_mod.main(base + ["--part", "1"])
+    assert cfg1.vae.s_iter == 20
+    assert cfg1.loadpath == cfg1.vae.chkpt_path.format(20)
+    assert os.path.exists(cfg1.vae.chkpt_path.format(40))
+    # the resumed checkpoint carries optimizer state + step
+    import numpy as np
+    raw = np.load(cfg1.vae.chkpt_path.format(40), allow_pickle=False)
+    assert any("'opt'" in k for k in raw.files)
+    assert int(raw["['step']"]) == 40
