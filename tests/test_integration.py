@@ -147,3 +147,23 @@ def test_part_resume_contract(tmp_path):
     raw = np.load(cfg1.vae.chkpt_path.format(40), allow_pickle=False)
     assert any("'opt'" in k for k in raw.files)
     assert int(raw["['step']"]) == 40
+
+
+def test_pipeline_Q_from_dataloader_and_amppos(trained_run):
+    """The Q_from_full_dataloader path: Q fit on amp-positive encoder
+    means pulled straight from the dataloader (reference
+    sample_pipeline.py:47-71), with eval NLL points still read from the
+    states dump (reference quirk, sample_pipeline.py:115-118)."""
+    cfg, _ = trained_run
+    model, params, vocab, base = _load(cfg)
+    dataset = main_mod.load_dataset(cfg)
+    build_index.extract_from_dataset(
+        model, params, vocab, cfg, dataset, base, cfg.vae.n_iter,
+        max_examples=300)
+    args = argparse.Namespace(
+        Q_n_components=4, Q_covariance_type="diag",
+        n_samples_per_round=64, n_samples_acc=5,
+        samples_outfn_prefix="dlsamples",
+        Q_select_amppos=1, Q_from_full_dataloader=True)
+    outfn = pipeline.run(cfg, args)
+    assert os.path.exists(outfn + ".csv")
