@@ -18,6 +18,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..ops import nn
 from ..ops.beam import beam_search
 from . import gmm as gmm_mod
 
@@ -36,16 +37,22 @@ def _round_body(model, params, key, kind, q_params, clf_w, clf_b, targets,
     accum = jnp.prod(probs, axis=1)
     accept = jax.random.uniform(ku, (n,)) < accum
     c = model.sample_c_prior(kc, n)
+    # flow models decode flow(z), matching the non-fused path: in gen_prior
+    # mode generation.py applies the flow to any provided z (reference
+    # model.py:210-214); in posterior mode Q was fit on encoder-mean (z0)
+    # space, and the decoder was trained on z_K = flow(z0) — either way the
+    # decoded latent is flow(z). The returned z stays the raw draw
+    # (the reference stores pre-decode samples_z).
+    z_dec = model.apply_flow(params, z)[0] if model.flow > 0 else z
     # the beam decode runs in the MXU-native dtype (measured ~7x on the
     # T=25 GRU recurrence at these shapes); beam score bookkeeping is
     # fp32 inside beam_search regardless (logits cast before log_softmax)
     dt = jnp.dtype(decode_dtype)
     if dt != jnp.float32:
-        dec_params = jax.tree.map(
-            lambda a: a.astype(dt) if a.dtype == jnp.float32 else a, params)
-        z_d, c_d = z.astype(dt), c.astype(dt)
+        dec_params = nn.cast_tree(params, dt)
+        z_d, c_d = z_dec.astype(dt), c.astype(dt)
     else:
-        dec_params, z_d, c_d = params, z, c
+        dec_params, z_d, c_d = params, z_dec, c
     hyps, scores = beam_search(model, dec_params, z_d, c_d,
                                beam_size=beam_size, n_best=1)
     return z, c, probs, accum, accept, hyps[:, 0, :]

@@ -146,8 +146,11 @@ class RNNVAE:
             if inputs.ndim == 2:
                 pad_mask = inputs != PAD_IDX
             else:
-                # soft rows: treat a position as real unless PAD dominates
-                pad_mask = inputs[..., PAD_IDX] < 0.5
+                # soft rows: real unless PAD dominates or the row is all
+                # zeros (the sampler zeroes post-EOS soft rows,
+                # ops/sampling.py — those are padding, not tokens)
+                pad_mask = ((inputs[..., PAD_IDX] < 0.5)
+                            & (inputs.sum(-1) > 0.5))
             return tfm.apply_encoder(
                 params["enc"], emb, pad_mask,
                 n_heads=t_args.get("n_heads", 4),

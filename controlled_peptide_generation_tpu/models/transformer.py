@@ -59,14 +59,19 @@ def _split_heads(x, n_heads):
     return x.reshape(B, S, n_heads, D // n_heads)
 
 
-def _cast_tree(p, dtype):
-    """Cast float32 leaves to the compute dtype (params stay fp32 at rest;
-    jnp would otherwise promote bf16 activations back to fp32 at every
-    matmul against fp32 weights, making the flag a silent no-op)."""
-    if dtype == jnp.float32:
-        return p
-    return jax.tree.map(
-        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, p)
+def _compute_dtype(params, bf16):
+    """bf16 flag OR already-bf16 weights (e.g. the CLaSS fused round casts
+    the whole param tree for gen_dtype) select bfloat16 compute — running
+    fp32 activations against bf16 weights would be the worst of both."""
+    if bf16 or params["out"]["w"].dtype == jnp.bfloat16:
+        return jnp.bfloat16
+    return jnp.float32
+
+
+def _enc_compute_dtype(params, bf16):
+    if bf16 or params["mu"]["w"].dtype == jnp.bfloat16:
+        return jnp.bfloat16
+    return jnp.float32
 
 
 def _attention(q, k, v, mask):
@@ -144,8 +149,8 @@ def apply_encoder(params, emb, pad_mask, n_heads=4, key=None,
     Pooling = masked mean over non-PAD positions (the transformer analog of
     the biGRU's last-state concat)."""
     B, T, _ = emb.shape
-    dt = jnp.bfloat16 if bf16 else jnp.float32
-    blocks = _cast_tree(params["blocks"], dt)
+    dt = _enc_compute_dtype(params, bf16)
+    blocks = nn.cast_tree(params["blocks"], dt)
     x = (nn.linear(params["in"], emb) + params["pos"][:T]).astype(dt)
     mask = pad_mask[:, None, None, :]          # attend only to real tokens
     keys = (jax.random.split(key, len(blocks))
@@ -191,8 +196,8 @@ def apply_teacher_forced(params, emb_params, tokens, z, c, key, train,
     x_tok = nn.word_dropout(k_wd, tokens, p_word_dropout, UNK_IDX, train)
     emb = nn.embed(emb_params, x_tok)                    # [B, T, E]
     B, T, _ = emb.shape
-    dt = jnp.bfloat16 if bf16 else jnp.float32
-    blocks = _cast_tree(params["blocks"], dt)
+    dt = _compute_dtype(params, bf16)
+    blocks = nn.cast_tree(params["blocks"], dt)
     tok_in = nn.linear(params["in"], emb)                # [B, T, D]
     lat = nn.linear(params["latent"],
                     jnp.concatenate([z, c], axis=1))[:, None, :]
@@ -219,9 +224,10 @@ def init_cache(params, z, c, max_seq_len, n_heads=4, bf16=False):
     L = len(params["blocks"])
     D = params["pos"].shape[1]
     S = max_seq_len + 1
-    dt = jnp.bfloat16 if bf16 else jnp.float32
-    blocks = _cast_tree(params["blocks"], dt)
-    x = (nn.linear(params["latent"], jnp.concatenate([z, c], axis=1))
+    dt = _compute_dtype(params, bf16)
+    blocks = nn.cast_tree(params["blocks"], dt)
+    x = (nn.linear(params["latent"],
+                   jnp.concatenate([z, c], axis=1).astype(dt))
          + params["pos"][0]).astype(dt)
     ck = jnp.zeros((B, L, S, D), dt)
     cv = jnp.zeros((B, L, S, D), dt)
@@ -243,8 +249,8 @@ def apply_step(params, emb_params, token_hard, token_soft, z, c, cache,
     else:
         emb = nn.embed(emb_params, token_hard)
     pos = cache["pos"]
-    dt = jnp.bfloat16 if bf16 else jnp.float32
-    blocks = _cast_tree(params["blocks"], dt)
+    dt = _compute_dtype(params, bf16)
+    blocks = nn.cast_tree(params["blocks"], dt)
     x = (nn.linear(params["in"], emb) + params["pos"][pos]).astype(dt)
     ck, cv = cache["k"], cache["v"]
     for li, p in enumerate(blocks):

@@ -71,6 +71,16 @@ def conv1d_seq(p, x):
         dimension_numbers=("NWC", "WIO", "NWC")) + p["b"]
 
 
+def cast_tree(tree, dtype):
+    """Cast float32 leaves to a compute dtype (params stay fp32 at rest;
+    jnp promotion would otherwise pull bf16 activations back to fp32 at
+    every matmul against fp32 weights)."""
+    if dtype == jnp.float32:
+        return tree
+    return jax.tree.map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, tree)
+
+
 def dropout(key, x, rate, train):
     if not train or rate <= 0.0:
         return x

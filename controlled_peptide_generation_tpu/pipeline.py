@@ -152,6 +152,12 @@ def decode_from_z(z, model, params, dataset, key=None, chunk=1024,
     sample_pipeline.py:129-139)."""
     key = key if key is not None else jax.random.PRNGKey(0)
     z = np.asarray(z, np.float32)
+    if (model.flow > 0
+            and getattr(model, "flow_mode", "gen_prior") == "posterior"):
+        # Q latents live in encoder-mean (z0) space; posterior-flow models
+        # decode z_K = flow(z0). (gen_prior flow application happens inside
+        # generate_sentences, matching the reference.)
+        z = np.asarray(model.apply_flow(params, jnp.asarray(z))[0])
     n = z.shape[0]
     outs = []
     LOG.info("Decoder decoding: beam search")
@@ -171,14 +177,24 @@ def decode_from_z(z, model, params, dataset, key=None, chunk=1024,
 
 
 def get_new_samples(cfg, model, params, dataset, Q, n_samples, key,
-                    fused=True):
+                    fused=True, mesh=None):
     """One round: rejection-sample z's, decode all of them, assemble the
     per-sample dataframe (reference sample_pipeline.py:196-208).
 
     fused=True runs rejection + c-prior + full-batch beam decode as ONE
     device dispatch (latent/fused.py) — semantically identical to the
-    chunked path, an order of magnitude faster on remote TPUs."""
-    if fused:
+    chunked path, an order of magnitude faster on remote TPUs. With a
+    mesh, the same program runs sharded over the batch axis
+    (parallel.dp_fused_round): each device owns n/D candidates."""
+    if fused and mesh is not None:
+        from . import parallel
+        samples_z, scores_z, accept_z, tokens = parallel.dp_fused_round(
+            mesh, model, params, key, Q, n_samples,
+            axis=cfg.hw.get("mesh_axis", "data"),
+            decode_dtype=cfg.hw.get("gen_dtype", "bfloat16"))
+        samples = dataset.idx2sentences(np.asarray(tokens),
+                                        print_special_tokens=False)
+    elif fused:
         from .latent.fused import fused_round
         samples_z, scores_z, accept_z, tokens = fused_round(
             model, params, key, Q, n_samples,
@@ -203,9 +219,9 @@ def get_new_samples(cfg, model, params, dataset, Q, n_samples, key,
 
 
 def one_sampling_round(cfg, model, params, dataset, Q, n_samples_per_round,
-                       key, fused=True):
+                       key, fused=True, mesh=None):
     df = get_new_samples(cfg, model, params, dataset, Q,
-                         n_samples_per_round, key, fused=fused)
+                         n_samples_per_round, key, fused=fused, mesh=mesh)
     df = compute_modlamp(df)
     df["accept"] = df["accept_z"]
     return df
@@ -285,13 +301,23 @@ def run(cfg, args):
     # (~150 ms RTT each), so drawing R rounds' worth of candidates in one
     # program amortizes it (distribution-identical; host dedup unchanged)
     rpd = max(int(cfg.hw.get("rounds_per_dispatch", 1)), 1)
+    # multi-chip: shard each round over a device mesh (hw.dp; 0 = all)
+    n_dp = int(cfg.hw.get("dp", 1))
+    if n_dp == 0:
+        n_dp = len(jax.devices())
+    mesh = None
+    if n_dp > 1:
+        from . import parallel
+        mesh = parallel.get_mesh(n_dp, cfg.hw.get("mesh_axis", "data"))
+        LOG.info("CLaSS rounds sharded over %d devices", n_dp)
     while not is_finished(samples, args.n_samples_acc):
         round_ix += 1
         LOG.info("Round #%d (x%d per dispatch)", round_ix, rpd)
         new = one_sampling_round(cfg, model, params, dataset, Q,
                                  args.n_samples_per_round * rpd,
                                  jax.random.fold_in(key, round_ix),
-                                 fused=cfg.hw.get("fused_rounds", True))
+                                 fused=cfg.hw.get("fused_rounds", True),
+                                 mesh=mesh)
         new = new.loc[new.peptide.drop_duplicates().index]
         new = new[~new["peptide"].isin(samples["peptide"])]
         samples = pd.concat([samples, new], ignore_index=True, sort=False)

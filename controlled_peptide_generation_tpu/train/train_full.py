@@ -213,40 +213,23 @@ def train_full(cfg, model, dataset, params, logger=None,
         return (j % cfgf.cheaplog_every == 0
                 or j % cfgf.expsvlog_every == 0)
 
-    # metric fetches are DEFERRED: device metrics queue up and are pulled
-    # in batches, so a cheaplog boundary costs a host round trip only every
-    # `flush_every` boundaries instead of every one (the fetch RTT on a
-    # remote TPU is ~100x the step time). Values and steps logged are
-    # exactly the boundary ones — only their materialization is delayed.
-    flush_every = max(int(cfg.hw.get("log_flush_every", 10)), 1)
-    pending = []
+    # metric fetches are DEFERRED and coalesced (utils.logging.DeferredFetch)
+    def sink(p_it, vals):
+        if logger is not None:
+            for k, v in vals.items():
+                logger.log_value("full_" + k, v, p_it)
+        log.info("ITER %d (phase 2). L_vae: %.4f; attr_c: %.4f; "
+                 "attr_z: %.4f; clf_sup: %.4f; clf_acc: %.3f",
+                 p_it, vals["L_vae"], vals["L_attr_c"],
+                 vals["L_attr_z"], vals["L_clf_sup"], vals["clf_acc"])
 
-    def flush():
-        if not pending:
-            return
-        # ONE stacked transfer for the whole batch of boundaries — each
-        # individual float() would pay a full device round trip
-        korder = sorted(pending[0][1])
-        rows = np.asarray(jnp.stack(
-            [jnp.stack([m[k] for k in korder]) for _, m in pending]))
-        for (p_it, _), row in zip(pending, rows):
-            vals = dict(zip(korder, (float(x) for x in row)))
-            if logger is not None:
-                for k, v in vals.items():
-                    logger.log_value("full_" + k, v, p_it)
-            log.info("ITER %d (phase 2). L_vae: %.4f; attr_c: %.4f; "
-                     "attr_z: %.4f; clf_sup: %.4f; clf_acc: %.3f",
-                     p_it, vals["L_vae"], vals["L_attr_c"],
-                     vals["L_attr_z"], vals["L_clf_sup"], vals["clf_acc"])
-        pending.clear()
+    fetch = tblog.DeferredFetch(cfg.hw.get("log_flush_every", 10), sink)
 
     def do_host(it, metrics):
         cheap = it % cfgf.cheaplog_every == 0
         expsv = it % cfgf.expsvlog_every == 0
         if cheap or expsv:
-            pending.append((it, metrics))
-            if len(pending) >= flush_every or expsv:
-                flush()
+            fetch.add(it, metrics, force=expsv)
         if expsv and it > cfgf.s_iter:
             checkpoints.save(cfgf.chkpt_path.format(it),
                              {"params": params, "step": jnp.asarray(it)})
@@ -291,6 +274,6 @@ def train_full(cfg, model, dataset, params, logger=None,
         do_host(it, metrics)
         it += 1
 
-    flush()
+    fetch.flush()
     jax.block_until_ready(params)
     return params, n_done / max(time.time() - t_start, 1e-9)

@@ -229,11 +229,11 @@ def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
         assert cfgv.batch_size % n_dp == 0, (
             f"batch_size {cfgv.batch_size} must divide over {n_dp} devices")
         mesh = parallel.get_mesh(n_dp, cfg.hw.get("mesh_axis", "data"))
+        # rf_basis=None (rf_resample) flows through: make_loss_fn then
+        # resamples the basis per step, same objective as dp=1
         train_step, optimizer = parallel.make_dp_train_step(
-            model, cfgv, cfg.losses,
-            rf_basis if rf_basis is not None else L.init_rf_basis(
-                k_rf, model.z_dim, cfg.losses.wae_mmd.rf_dim),
-            mesh, donate=cfg.hw.donate_state)
+            model, cfgv, cfg.losses, rf_basis, mesh,
+            donate=cfg.hw.donate_state)
         log.info("data-parallel training over %d devices", n_dp)
     else:
         train_step, optimizer = make_train_step(
@@ -296,40 +296,26 @@ def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
     profile_stack.enter_context(
         trace(cfg.hw.get("profile_dir", ""),
               enabled=bool(cfg.hw.get("profile_dir", ""))))
-    # metric/sample fetches are DEFERRED: the boundary dispatches the log
-    # sample asynchronously and queues the device metrics; host round trips
-    # happen only every `flush_every` boundaries (fetch RTT on a remote TPU
-    # is ~100x the step time). Logged values/steps are exactly the
-    # boundary ones — only their materialization is delayed.
-    flush_every = max(int(cfg.hw.get("log_flush_every", 10)), 1)
-    pending = []
-
-    def flush():
-        if not pending:
-            return
-        # ONE stacked transfer per flush for metrics and one for the log
-        # samples — each individual float()/asarray would pay a full
-        # device round trip
-        korder = sorted(pending[0][1])
-        rows = np.asarray(jnp.stack(
-            [jnp.stack([m[k] for k in korder]) for _, m, _ in pending]))
-        sents = np.asarray(jnp.stack([s for _, _, s in pending]))
-        for (p_it, _, _), row, p_sent in zip(pending, rows, sents):
-            vals = dict(zip(korder, (float(x) for x in row)))
-            if logger is not None:
-                for k in ("z_mu_L1", "z_logvar", "z_logvar_L1",
-                          "z_logvar_KL_penalty", "L_vae", "L_vae_recon",
-                          "L_vae_kl", "L_wae_mmd", "L_wae_mmdrf", "beta"):
-                    logger.log_value("train_" + k, vals[k], p_it)
-            log.info(
-                "ITER %d TRAINING (phase 1). loss_vae: %.4f; loss_recon: "
-                "%.4f; loss_kl: %.4f; loss_mmd: %.4f; Grad_norm: %.4e",
-                p_it, vals["L_vae"], vals["L_vae_recon"], vals["L_vae_kl"],
-                vals["L_wae_mmd"], vals["grad_norm"])
-            log.info('Sample (cat T=1.0): "%s"',
-                     dataset.idx2sentence(p_sent[0]))
-        pending.clear()
+    # metric/sample fetches are DEFERRED and coalesced
+    # (utils.logging.DeferredFetch): the boundary dispatches the log sample
+    # asynchronously and queues the device metrics; host round trips happen
+    # only once per flush
+    def sink(p_it, vals, p_sent):
+        if logger is not None:
+            for k in ("z_mu_L1", "z_logvar", "z_logvar_L1",
+                      "z_logvar_KL_penalty", "L_vae", "L_vae_recon",
+                      "L_vae_kl", "L_wae_mmd", "L_wae_mmdrf", "beta"):
+                logger.log_value("train_" + k, vals[k], p_it)
+        log.info(
+            "ITER %d TRAINING (phase 1). loss_vae: %.4f; loss_recon: "
+            "%.4f; loss_kl: %.4f; loss_mmd: %.4f; Grad_norm: %.4e",
+            p_it, vals["L_vae"], vals["L_vae_recon"], vals["L_vae_kl"],
+            vals["L_wae_mmd"], vals["grad_norm"])
+        log.info('Sample (cat T=1.0): "%s"',
+                 dataset.idx2sentence(p_sent[0]))
         sys.stdout.flush()
+
+    fetch = tblog.DeferredFetch(cfg.hw.get("log_flush_every", 10), sink)
 
     def do_host(it, metrics):
         cheap = it % cfgv.cheaplog_every == 0
@@ -338,9 +324,7 @@ def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
             sent, _, _ = generate_sentences(
                 model, params, jax.random.fold_in(k_steps, 2**31 + it), 1,
                 sample_mode="categorical")
-            pending.append((it, metrics, sent))
-            if len(pending) >= flush_every or expsv:
-                flush()
+            fetch.add(it, metrics, sent, force=expsv)
         if expsv and it > cfgv.s_iter:
             state = {"params": params, "opt": opt_state,
                      "step": jnp.asarray(it)}
@@ -386,7 +370,7 @@ def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
         do_host(it, metrics)
         it += 1
 
-    flush()
+    fetch.flush()
     jax.block_until_ready(params)
     profile_stack.close()
     steps_per_sec = (cfgv.n_iter + 1 - (it_start - cfgv.s_iter)) / max(

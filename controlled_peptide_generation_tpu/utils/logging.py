@@ -104,3 +104,44 @@ def get_last_logged_values():
 
 def export_to_json(json_fn, **kw):
     _get().export_to_json(json_fn, **kw)
+
+
+class DeferredFetch:
+    """Queue per-boundary device payloads and materialize them in batched
+    stacked transfers. On a remote TPU every individual host fetch (a
+    float(), an np.asarray) pays a full device round trip — coalescing the
+    log-boundary reads behind the training loop keeps boundaries nearly
+    free without changing what is logged (values and steps are exactly the
+    boundary ones; only their materialization is delayed).
+
+    Payload = (meta, scalars_dict, *extra_arrays); ``sink(meta, vals,
+    *extras_np)`` is called per entry at flush time, in order.
+    """
+
+    def __init__(self, flush_every, sink):
+        self.flush_every = max(int(flush_every), 1)
+        self.sink = sink
+        self.pending = []
+
+    def add(self, meta, scalars, *extras, force=False):
+        self.pending.append((meta, scalars, extras))
+        if force or len(self.pending) >= self.flush_every:
+            self.flush()
+
+    def flush(self):
+        if not self.pending:
+            return
+        import jax.numpy as jnp
+        import numpy as np
+        korder = sorted(self.pending[0][1])
+        rows = np.asarray(jnp.stack(
+            [jnp.stack([m[k] for k in korder])
+             for _, m, _ in self.pending]))
+        n_extras = len(self.pending[0][2])
+        extras_np = [np.asarray(jnp.stack([e[i] for _, _, e in
+                                           self.pending]))
+                     for i in range(n_extras)]
+        for j, (meta, _, _) in enumerate(self.pending):
+            vals = dict(zip(korder, map(float, rows[j])))
+            self.sink(meta, vals, *(ex[j] for ex in extras_np))
+        self.pending.clear()

@@ -160,3 +160,54 @@ def test_bf16_decode_quality_vs_fp32():
     # mean fp32-rescored quality gap under bf16 decode: small
     gap = float(np.mean(s32 - s16))
     assert gap < 0.25, (gap, s32.mean(), s16.mean())
+
+
+def test_fused_round_applies_flow_like_composed_path():
+    """Flow models (gen_prior) must decode flow(z) in the fused round, the
+    same latents the non-fused generate_sentences path decodes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from controlled_peptide_generation_tpu import config as C
+    from controlled_peptide_generation_tpu.latent import density, logreg
+    from controlled_peptide_generation_tpu.latent.fused import fused_round
+    from controlled_peptide_generation_tpu.models import build_model
+    from controlled_peptide_generation_tpu.ops.beam import beam_search
+
+    cfg = C.default_config()
+    cfg.model.z_dim = 8
+    cfg.model.emb_dim = 10
+    cfg.model.E_args.h_dim = 8
+    cfg.model.flow = 2
+    cfg.model.flow_type = "planar"
+    model = build_model(cfg.model, n_vocab=14, max_seq_len=8)
+    params = model.init_params(jax.random.PRNGKey(0))
+    # make the flow act non-trivially
+    params["flow"]["planar"]["scale"] = (
+        params["flow"]["planar"]["scale"] + 2.0)
+    params["flow"]["planar"]["w"] = params["flow"]["planar"]["w"] + 1.0
+
+    key = jax.random.PRNGKey(1)
+    mu = 0.3 * jax.random.normal(key, (100, model.z_dim))
+    lv = jnp.full((100, model.z_dim), -1.5)
+    Q = density.mogQ(np.asarray(mu), np.asarray(lv), n_components=4,
+                     z_num_samples=2, covariance_type="diag", key=key)
+    w = jnp.zeros(model.z_dim).at[0].set(1.0)
+    Q.init_attr_classifiers(
+        {"amp": logreg.LogRegParams(w=w, b=jnp.asarray(0.1)),
+         "tox": logreg.LogRegParams(w=-w, b=jnp.asarray(-0.2))},
+        {"amp": 1, "tox": 0})
+
+    z, scores, accept, tokens = fused_round(model, params, key, Q, 32,
+                                            decode_dtype="float32")
+    # recompute: same draws, flow applied, c from the same subkey
+    kz, ku, kc = jax.random.split(key, 3)
+    from controlled_peptide_generation_tpu.latent import gmm
+    z_ref = gmm.sample(kz, Q.params, 32, "diag")
+    np.testing.assert_allclose(np.asarray(z), np.asarray(z_ref), atol=1e-6)
+    z_flowed, _ = model.apply_flow(params, z_ref)
+    assert float(jnp.abs(z_flowed - z_ref).max()) > 1e-3  # flow non-trivial
+    c = model.sample_c_prior(kc, 32)
+    hyps, _ = beam_search(model, params, z_flowed, c, beam_size=5, n_best=1)
+    np.testing.assert_array_equal(np.asarray(tokens),
+                                  np.asarray(hyps[:, 0, :]))

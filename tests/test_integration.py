@@ -167,3 +167,26 @@ def test_pipeline_Q_from_dataloader_and_amppos(trained_run):
         Q_select_amppos=1, Q_from_full_dataloader=True)
     outfn = pipeline.run(cfg, args)
     assert os.path.exists(outfn + ".csv")
+
+
+def test_pipeline_dp_mesh_rounds(trained_run):
+    """hw.dp shards the fused CLaSS rounds over the device mesh inside
+    pipeline.run (parallel.dp_fused_round)."""
+    cfg, _ = trained_run
+    model, params, vocab, base = _load(cfg)
+    dataset = main_mod.load_dataset(cfg)
+    build_index.extract_from_dataset(
+        model, params, vocab, cfg, dataset, base, cfg.vae.n_iter,
+        max_examples=300)
+    cfg = cfg.copy()
+    cfg.hw.dp = 4
+    args = argparse.Namespace(
+        Q_n_components=4, Q_covariance_type="diag",
+        n_samples_per_round=64, n_samples_acc=5,
+        samples_outfn_prefix="dpsamples",
+        Q_select_amppos=0, Q_from_full_dataloader=False)
+    outfn = pipeline.run(cfg, args)
+    assert os.path.exists(outfn + ".csv")
+    import pandas as pd
+    df = pd.read_pickle(outfn + ".pkl")
+    assert df["accept"].sum() >= 5
