@@ -248,21 +248,23 @@ def bench_class(cfg, model, params, n_per_round=5000, min_accepted=100,
         f"({n_rounds * n_per_round} decoded) in {dt:.2f}s")
     rate = accepted / dt
 
-    # same work, batched: the tunnel serializes dispatches (~150 ms each),
-    # so executing the 10 rounds as ONE program amortizes the round trip
+    # same work, batched: the tunnel serializes dispatches (variable
+    # ~0.1-1s RTT each), so executing many rounds as ONE program amortizes
+    # the round trip; 20 rounds/dispatch is robustly device-bound
+    n_batched = 2 * n_rounds
     _, _, accept, tokens = fused_round(model, params, key, Q,
-                                       n_per_round * n_rounds,
+                                       n_per_round * n_batched,
                                        decode_dtype=decode_dtype)
     jax.block_until_ready(tokens)
     t0 = time.perf_counter()
     _, _, accept, tokens = fused_round(
         model, params, jax.random.fold_in(key, 99), Q,
-        n_per_round * n_rounds, decode_dtype=decode_dtype)
+        n_per_round * n_batched, decode_dtype=decode_dtype)
     jax.block_until_ready(tokens)
     dt_b = time.perf_counter() - t0
     acc_b = int(jnp.sum(accept))
-    log(f"CLaSS batched (10 rounds/dispatch): {acc_b} accepted "
-        f"({n_rounds * n_per_round} decoded) in {dt_b:.2f}s")
+    log(f"CLaSS batched ({n_batched} rounds/dispatch): {acc_b} accepted "
+        f"({n_batched * n_per_round} decoded) in {dt_b:.2f}s")
     return rate, acc_b / dt_b
 
 
