@@ -144,3 +144,37 @@ def test_dp_fused_round_matches_single_device():
     for k in s1:
         np.testing.assert_allclose(np.asarray(s1[k]), np.asarray(s2[k]),
                                    atol=1e-6)
+
+
+def test_dp_train_step_resamples_rf_basis():
+    """rf_basis=None (losses.wae_mmd.rf_resample) must resample the RF
+    basis per step under DP too — identical inputs at different iteration
+    keys give different mmdrf values."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from controlled_peptide_generation_tpu import config as C, parallel
+    from controlled_peptide_generation_tpu.models import build_model
+
+    cfg = C.default_config()
+    cfg.vae.update(cfg.shared)
+    cfg.model.z_dim = 12
+    cfg.model.emb_dim = 10
+    cfg.model.E_args.h_dim = 8
+    model = build_model(cfg.model, n_vocab=14, max_seq_len=10)
+    params = model.init_params(jax.random.PRNGKey(0))
+    mesh = parallel.get_mesh(4)
+    step, opt = parallel.make_dp_train_step(model, cfg.vae, cfg.losses,
+                                            None, mesh, donate=False)
+    p = parallel.replicate(mesh, params)
+    o = parallel.replicate(mesh, opt.init(params))
+    text = parallel.shard_batch(
+        mesh, jnp.ones((8, 10), jnp.int32).at[:, 0].set(2) * 1 + 3)
+    key = jax.random.PRNGKey(5)
+    _, _, m1 = step(p, o, jax.random.fold_in(key, 0), text,
+                    jnp.asarray(0, jnp.int32))
+    _, _, m2 = step(p, o, jax.random.fold_in(key, 1), text,
+                    jnp.asarray(0, jnp.int32))
+    assert np.isfinite(float(m1["L_wae_mmdrf"]))
+    # same params/batch/beta, different key -> different resampled basis
+    assert float(m1["L_wae_mmdrf"]) != float(m2["L_wae_mmdrf"])
