@@ -18,6 +18,7 @@ TPU-first departures from the reference:
 
 import csv
 import io
+import logging
 import os
 import random
 from collections import defaultdict
@@ -27,6 +28,17 @@ import numpy as np
 import pandas as pd
 
 from .vocab import Vocab, PAD_IDX
+
+LOG = logging.getLogger(__name__)
+
+# csv files the amp spec lists but the released curation never emits
+# (reference cfg.py:339-341 expects them; create_datasets.py:566-617 only
+# writes unlab/amp_lab/tox_lab and, with extra inputs, sol_lab) — absence
+# is tolerated with a warning instead of the reference's hard crash
+OPTIONAL_CSV_FILES = frozenset({
+    "sol_lab.csv", "anticancer.csv", "antihypertensive.csv",
+    "cell-cell.csv",
+})
 
 
 class _WeightedRandomIterator:
@@ -94,6 +106,7 @@ class AttributeDataLoader:
         self.attributes = list(attributes)
         self.attr_maps = dict(self.attributes)
         self._iterator_seed = iterator_seed
+        self._warned_factors = set()
 
         self.df = self._read_csvs(data_path, csv_files, max_seq_len)
         self._compute_splits([0.8, 0.1, 0.1], split_seed)
@@ -148,12 +161,22 @@ class AttributeDataLoader:
 
     def _read_csvs(self, path, csv_files, max_seq_len):
         data = defaultdict(dict)
+        found = 0
         for csv_file in csv_files:
             fn = os.path.join(path, csv_file)
+            if not os.path.exists(fn) and csv_file in OPTIONAL_CSV_FILES:
+                LOG.warning("optional corpus file %s not found; its "
+                            "attribute column will be all-NA", fn)
+                continue
             with io.open(fn, encoding="utf8") as f:
                 for entry in csv.DictReader(f):
                     key = entry["text"].strip()
                     data[key].update(entry)
+            found += 1
+        if not found:
+            raise FileNotFoundError(
+                f"no corpus csv files found under {path} (looked for "
+                f"{list(csv_files)})")
         rows = [data[k] for k in sorted(data.keys())]
         df = pd.DataFrame(rows)
         df["lens"] = df.text.apply(lambda x: len(x.strip().split()))
@@ -180,12 +203,18 @@ class AttributeDataLoader:
 
     def get_mask(self, colspecifier):
         df = self.df
-        if "=" in colspecifier:
-            k, allowed = colspecifier.split("=")
-            return df[k].isin(allowed.split(","))
-        if colspecifier.startswith("^"):
-            return df[colspecifier[1:]].isna()
-        return df[colspecifier].notna()
+        negate = colspecifier.startswith("^")
+        key = colspecifier[1:] if negate else colspecifier
+        allowed = None
+        if "=" in key:
+            key, allowed = key.split("=")
+        if key not in df.columns:
+            # column absent when its (optional) csv was not shipped:
+            # behaves as all-NA
+            return pd.Series(negate, index=df.index)
+        if allowed is not None:
+            return df[key].isin(allowed.split(","))
+        return df[key].isna() if negate else df[key].notna()
 
     def get_subset_indices(self, *colspecifiers):
         mask = pd.Series(True, index=self.df.index)
@@ -200,7 +229,14 @@ class AttributeDataLoader:
         if sample_prob_factors:
             for colspecifier, factor in sample_prob_factors.items():
                 mask = self.get_mask(colspecifier).to_numpy()
-                assert mask.any(), f"empty mask for {colspecifier}"
+                if not mask.any():
+                    # optional attribute never shipped (e.g. 'sol' without
+                    # sol_lab.csv): the factor simply has nothing to upsample
+                    if colspecifier not in self._warned_factors:
+                        self._warned_factors.add(colspecifier)
+                        LOG.warning("sample factor %r matches no rows; "
+                                    "ignored", colspecifier)
+                    continue
                 w[mask & (w < factor)] = factor
         return w[indices]
 

@@ -98,3 +98,35 @@ def test_idx2sentences_nesting(synthetic_corpus):
     assert "<pad>" not in sents[0]
     one = d.idx2sentence(b.text[0])
     assert one.startswith("<start>")
+
+
+def test_amp_corpus_ships_and_loads():
+    """The curated real corpus under data/amp/ loads with the full amp spec:
+    optional csvs (sol/anticancer/antihypertensive/cell-cell) are absent and
+    must be tolerated as all-NA attribute columns (reference cfg.py:339-341
+    lists them; create_datasets.py never emits them)."""
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = C.default_config()
+    cfg.dataset = "amp"
+    cfg.datapath = os.path.join(repo, "data")
+    spec = C.dataset_spec(cfg)
+    d = AttributeDataLoader(mbsize=8, max_seq_len=25, **spec)
+    assert d.n_vocab == 24  # 4 specials + all 20 amino acids
+    b = d.next_batch("train_vae")
+    assert b.text.shape == (8, 25)
+    # never-shipped attributes come through as the 'na' mapping (-1)
+    assert (b.sol == -1).all() and (b.anticancer == -1).all()
+    # labeled iterators still work
+    assert d.subset_sizes["hld_amppos"] > 0
+    assert d.subset_sizes["hld_ampneg"] > 0
+
+
+def test_loader_missing_required_csv_raises(tmp_path):
+    cfg = C.default_config()
+    cfg.dataset = "synthetic"
+    spec = C.dataset_spec(cfg)
+    spec["data_path"] = str(tmp_path)  # empty dir
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        AttributeDataLoader(mbsize=4, max_seq_len=25, **spec)
