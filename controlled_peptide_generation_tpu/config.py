@@ -304,6 +304,7 @@ def default_config():
         unroll=10,            # optimizer steps per device dispatch (train)
         fused_rounds=True,    # CLaSS: rejection+decode fused into one jit
         rounds_per_dispatch=1,  # CLaSS rounds drawn per device dispatch
+        rounds_in_flight=2,   # CLaSS dispatches queued ahead of host work
         gen_dtype="bfloat16",  # CLaSS decode compute dtype (MXU-native;
                                # rejection + beam scores stay fp32);
                                # set float32 for bit-parity with the API

@@ -291,6 +291,8 @@ class AttributeDataLoader:
 
     def idx2sentences(self, idxs, print_special_tokens=True):
         idxs = np.asarray(idxs) if not isinstance(idxs, list) else idxs
+        if isinstance(idxs, np.ndarray) and idxs.ndim == 2:
+            return self.vocab.to_sentences_batch(idxs, print_special_tokens)
         first = idxs[0]
         if np.ndim(first) == 0:
             return self.idx2sentence(idxs, print_special_tokens)

@@ -180,6 +180,35 @@ class PeptideEvaluator:
         return {"sim": sim_lst}, av_sim
 
 
+def modlamp_from_tokens(tokens, itos):
+    """Vectorized H / uH / charge straight from a [N, T] token matrix.
+
+    Row-for-row equal to ``compute_modlamp`` on the decoded peptides (same
+    Eisenberg scale, 100-degree moment, E/D/K/R charge), but every step is a
+    numpy gather/reduction over the whole round instead of a python loop per
+    residue — this is what keeps the CLaSS pipeline's host side off the
+    critical path at 50k-candidate rounds."""
+    tokens = np.asarray(tokens)
+    eis = np.array([EISENBERG.get(w, 0.0) for w in itos])
+    chg = np.array([float(AA_CHARGE.get(w, 0)) for w in itos])
+    valid = tokens > 3  # specials pinned at 0..3; matches the decode strip
+    n = valid.sum(axis=1)
+    h = eis[tokens] * valid
+    # residue position within the cleaned peptide (0-based), as in
+    # calculate_moment(assign_hydrophobicity(clean_sequence(s)))
+    pos = np.cumsum(valid, axis=1) - 1
+    rad = np.deg2rad(pos * 100.0)
+    cos_s = (h * np.cos(rad)).sum(axis=1)
+    sin_s = (h * np.sin(rad)).sum(axis=1)
+    n_safe = np.maximum(n, 1)
+    H = h.sum(axis=1) / n_safe
+    uH = np.hypot(cos_s, sin_s) / n_safe
+    charge = (chg[tokens] * valid).sum(axis=1)
+    empty = n == 0
+    return (np.where(empty, 0.0, H), np.where(empty, 0.0, uH),
+            np.where(empty, 0.0, charge))
+
+
 def compute_modlamp(df):
     """Attach H / uH / charge columns to a peptide DataFrame
     (sample_pipeline.py:210-218; same Eisenberg/charge models as modlamp)."""

@@ -27,7 +27,7 @@ from . import config as C
 from .api import (load_trained_model, get_model_and_vocab_path,
                   get_result_for_model, load_vocab)
 from .data import AttributeDataLoader
-from .evals.peptide_evals import compute_modlamp
+from .evals.peptide_evals import compute_modlamp, modlamp_from_tokens
 from .generation import generate_sentences
 from .latent import density, logreg
 from .vis import build_index
@@ -164,41 +164,61 @@ def decode_from_z(z, model, params, dataset, key=None, chunk=1024,
     for s in range(0, n, chunk):
         zc = z[s:s + chunk]
         pad = chunk - zc.shape[0]
-        if pad and n > chunk:
+        # always pad partial chunks to the full width so every launch —
+        # including n < chunk — reuses the one compiled program
+        if pad:
             zc = np.concatenate([zc, np.zeros((pad, z.shape[1]), z.dtype)])
         sents, _, _ = generate_sentences(
             model, params, jax.random.fold_in(key, s), zc.shape[0],
             z=jnp.asarray(zc), sample_mode="beam", beam_size=beam_size,
             n_best=1)
         top1 = np.asarray(sents)[:, 0, :]
-        outs.append(top1[:chunk - pad] if pad and n > chunk else top1)
+        outs.append(top1[:chunk - pad] if pad else top1)
     tokens = np.concatenate(outs, axis=0)
     return dataset.idx2sentences(tokens, print_special_tokens=False)
 
 
-def get_new_samples(cfg, model, params, dataset, Q, n_samples, key,
-                    fused=True, mesh=None):
-    """One round: rejection-sample z's, decode all of them, assemble the
-    per-sample dataframe (reference sample_pipeline.py:196-208).
+def launch_round(cfg, model, params, Q, n_samples, key, fused=True,
+                 mesh=None):
+    """Dispatch one round's device work WITHOUT materializing results.
 
     fused=True runs rejection + c-prior + full-batch beam decode as ONE
     device dispatch (latent/fused.py) — semantically identical to the
     chunked path, an order of magnitude faster on remote TPUs. With a
     mesh, the same program runs sharded over the batch axis
-    (parallel.dp_fused_round): each device owns n/D candidates."""
+    (parallel.dp_fused_round): each device owns n/D candidates.
+
+    Returns (z, scores dict, accept, tokens) as device arrays: jax
+    dispatch is asynchronous, so the caller can overlap this round's
+    compute with the previous round's host-side bookkeeping (the
+    reference's loop is strictly serial, sample_pipeline.py:303-323)."""
     if fused and mesh is not None:
         from . import parallel
-        samples_z, scores_z, accept_z, tokens = parallel.dp_fused_round(
+        z, scores, accept, tokens = parallel.dp_fused_round(
             mesh, model, params, key, Q, n_samples,
             axis=cfg.hw.get("mesh_axis", "data"),
             decode_dtype=cfg.hw.get("gen_dtype", "bfloat16"))
-        samples = dataset.idx2sentences(np.asarray(tokens),
-                                        print_special_tokens=False)
-    elif fused:
+    else:
         from .latent.fused import fused_round
-        samples_z, scores_z, accept_z, tokens = fused_round(
+        z, scores, accept, tokens = fused_round(
             model, params, key, Q, n_samples,
             decode_dtype=cfg.hw.get("gen_dtype", "bfloat16"))
+    # downcast on device before the host fetch: z rows are only kept as a
+    # float16 artifact column, and token ids fit a byte — over a tunneled
+    # TPU the D2H transfer is a visible slice of the round
+    z = z.astype(jnp.float16)
+    if model.n_vocab < 256:
+        tokens = tokens.astype(jnp.uint8)
+    return z, scores, accept, tokens
+
+
+def get_new_samples(cfg, model, params, dataset, Q, n_samples, key,
+                    fused=True, mesh=None):
+    """One round: rejection-sample z's, decode all of them, assemble the
+    per-sample dataframe (reference sample_pipeline.py:196-208)."""
+    if fused:
+        samples_z, scores_z, accept_z, tokens = launch_round(
+            cfg, model, params, Q, n_samples, key, fused=True, mesh=mesh)
         samples = dataset.idx2sentences(np.asarray(tokens),
                                         print_special_tokens=False)
     else:
@@ -210,9 +230,9 @@ def get_new_samples(cfg, model, params, dataset, Q, n_samples, key,
                  for k, v in scores_z.items()}
     return pd.DataFrame({
         "peptide": samples,
-        # ndarray.tolist() converts the whole matrix at C speed; a python
-        # float() per element is ~30x slower at 50k x 100 round sizes
-        "z": [tuple(r) for r in np.asarray(samples_z).tolist()],
+        # z rows stay float16 ndarrays: building 50k python tuples per
+        # round dominated the host side of the loop
+        "z": list(np.asarray(samples_z, np.float16)),
         "accept_z": np.asarray(accept_z),
         **scores_np,
     })
@@ -289,13 +309,7 @@ def run(cfg, args):
               for attr in ["amp", "tox"]}
     Q.init_attr_classifiers(z_clfs, clf_targets={"amp": 1, "tox": 0})
 
-    samples = pd.DataFrame(columns=["peptide"])
-    round_ix = 0
     t_sampling = time.perf_counter()
-
-    def is_finished(df, min_accepted):
-        return not (len(df) < min_accepted
-                    or df["accept"].sum() < min_accepted)
 
     # rounds per device dispatch: the tunnel serializes dispatches
     # (~150 ms RTT each), so drawing R rounds' worth of candidates in one
@@ -310,26 +324,15 @@ def run(cfg, args):
         from . import parallel
         mesh = parallel.get_mesh(n_dp, cfg.hw.get("mesh_axis", "data"))
         LOG.info("CLaSS rounds sharded over %d devices", n_dp)
-    while not is_finished(samples, args.n_samples_acc):
-        round_ix += 1
-        LOG.info("Round #%d (x%d per dispatch)", round_ix, rpd)
-        new = one_sampling_round(cfg, model, params, dataset, Q,
-                                 args.n_samples_per_round * rpd,
-                                 jax.random.fold_in(key, round_ix),
-                                 fused=cfg.hw.get("fused_rounds", True),
-                                 mesh=mesh)
-        new = new.loc[new.peptide.drop_duplicates().index]
-        new = new[~new["peptide"].isin(samples["peptide"])]
-        samples = pd.concat([samples, new], ignore_index=True, sort=False)
-        dropped = args.n_samples_per_round * rpd - new.shape[0]
-        if dropped > 0:
-            LOG.info("Dropped %d duplicate samples", dropped)
-        LOG.info("Q_xi(z|a) rejection sampling acceptance rate: "
-                 "%d/%d = %.4f", samples["accept_z"].sum(), len(samples),
-                 100.0 * samples["accept_z"].sum() / len(samples))
-        LOG.info("     - full filter pipeline accepted: %d/%d = %.4f",
-                 samples["accept"].sum(), len(samples),
-                 100.0 * samples["accept"].sum() / len(samples))
+
+    fused = cfg.hw.get("fused_rounds", True)
+    round_size = args.n_samples_per_round * rpd
+    if fused:
+        samples = _fused_sampling_loop(cfg, args, model, params, dataset,
+                                       Q, key, round_size, mesh)
+    else:
+        samples = _serial_sampling_loop(cfg, args, model, params, dataset,
+                                        Q, key, round_size)
 
     dt = time.perf_counter() - t_sampling
     LOG.info("CLaSS throughput: %.1f accepted samples/sec "
@@ -337,3 +340,126 @@ def run(cfg, args):
              samples["accept"].sum() / max(dt, 1e-9),
              int(samples["accept"].sum()), len(samples), dt)
     return save_samples(samples, cfg.savepath, args.samples_outfn_prefix)
+
+
+def _log_round_rates(n_accept_z, n_accept, n_total, dropped):
+    if dropped > 0:
+        LOG.info("Dropped %d duplicate samples", dropped)
+    LOG.info("Q_xi(z|a) rejection sampling acceptance rate: "
+             "%d/%d = %.4f", n_accept_z, n_total,
+             100.0 * n_accept_z / max(n_total, 1))
+    LOG.info("     - full filter pipeline accepted: %d/%d = %.4f",
+             n_accept, n_total, 100.0 * n_accept / max(n_total, 1))
+
+
+def _fused_sampling_loop(cfg, args, model, params, dataset, Q, key,
+                         round_size, mesh):
+    """Overlapped sampling loop: up to hw.rounds_in_flight rounds are
+    dispatched ahead of the one being consumed, so the device computes
+    round R+1 (and streams R+2's transfers) while the host runs round R's
+    dedup/physchem/accounting. All per-round host work is vectorized over
+    the round's token matrix; the DataFrame is assembled once at the end.
+
+    Rounds are keyed by fold_in(key, round_ix), so the candidate stream is
+    identical to the strictly serial reference loop
+    (sample_pipeline.py:303-323) — only the schedule overlaps."""
+    from collections import deque
+
+    depth = max(int(cfg.hw.get("rounds_in_flight", 2)), 1)
+    seen = set()
+    store = {"peptide": [], "z": [], "accept_z": [], "H": [], "uH": [],
+             "charge": []}
+    score_store = {}
+    n_total = n_accept = 0
+    round_ix = 0
+    inflight = deque()
+
+    def launch_one():
+        nonlocal round_ix
+        round_ix += 1
+        LOG.info("Round #%d (x%d candidates per dispatch)", round_ix,
+                 round_size)
+        inflight.append(launch_round(
+            cfg, model, params, Q, round_size,
+            jax.random.fold_in(key, round_ix), fused=True, mesh=mesh))
+
+    launch_one()
+    while True:
+        # keep the launch-ahead queue full while the job plausibly needs
+        # more rounds: rejection sampling rarely finishes in one round,
+        # and an unused in-flight round costs the host nothing
+        while len(inflight) < depth:
+            launch_one()
+        z_d, scores_d, accept_d, tokens_d = inflight.popleft()
+        # materialize round R (blocks until its device program finishes)
+        tokens = np.asarray(tokens_d).astype(np.int32)
+        z = np.asarray(z_d)
+        accept_z = np.asarray(accept_d)
+        scores = {k: np.asarray(v) for k, v in scores_d.items()}
+
+        # ---- host-side bookkeeping for round R ----
+        peptides = dataset.idx2sentences(tokens,
+                                         print_special_tokens=False)
+        keep = np.empty(len(peptides), bool)
+        for i, pep in enumerate(peptides):
+            if pep in seen:
+                keep[i] = False
+            else:
+                keep[i] = True
+                seen.add(pep)
+        H, uH, charge = modlamp_from_tokens(tokens[keep],
+                                            dataset.vocab.itos)
+        store["peptide"].extend(p for p, k in zip(peptides, keep) if k)
+        store["z"].append(z[keep])
+        store["accept_z"].append(accept_z[keep])
+        store["H"].append(H)
+        store["uH"].append(uH)
+        store["charge"].append(charge)
+        for k, v in scores.items():
+            score_store.setdefault(k, []).append(v[keep])
+        n_total += int(keep.sum())
+        n_accept += int(accept_z[keep].sum())
+        _log_round_rates(n_accept, n_accept, n_total,
+                         len(peptides) - int(keep.sum()))
+        if n_total >= args.n_samples_acc and n_accept >= args.n_samples_acc:
+            break
+
+    df = pd.DataFrame({
+        "peptide": store["peptide"],
+        "z": list(np.concatenate(store["z"])),
+        "accept_z": np.concatenate(store["accept_z"]),
+        **{k: np.concatenate(v) for k, v in score_store.items()},
+        "H": np.concatenate(store["H"]),
+        "uH": np.concatenate(store["uH"]),
+        "charge": np.concatenate(store["charge"]),
+    })
+    df["accept"] = df["accept_z"]
+    return df
+
+
+def _serial_sampling_loop(cfg, args, model, params, dataset, Q, key,
+                          round_size):
+    """Reference-shaped strict round-by-round loop (the hw.fused_rounds=0
+    fallback path)."""
+    samples = pd.DataFrame(columns=["peptide"])
+
+    def is_finished(df, min_accepted):
+        return not (len(df) < min_accepted
+                    or df["accept"].sum() < min_accepted)
+
+    round_ix = 0
+    while not is_finished(samples, args.n_samples_acc):
+        round_ix += 1
+        LOG.info("Round #%d (x%d candidates per dispatch)", round_ix,
+                 round_size)
+        new = one_sampling_round(cfg, model, params, dataset, Q,
+                                 round_size,
+                                 jax.random.fold_in(key, round_ix),
+                                 fused=False)
+        new = new.loc[new.peptide.drop_duplicates().index]
+        new = new[~new["peptide"].isin(samples["peptide"])]
+        samples = pd.concat([samples, new], ignore_index=True, sort=False)
+        _log_round_rates(int(samples["accept_z"].sum()),
+                         int(samples["accept"].sum()), len(samples),
+                         round_size - new.shape[0])
+    return samples

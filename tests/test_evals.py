@@ -78,3 +78,33 @@ def test_compute_modlamp_columns():
     assert out.loc[0, "charge"] == 2.0
     assert out.loc[1, "H"] == 0.0
     assert out.loc[2, "charge"] == -2.0
+
+
+def test_modlamp_from_tokens_matches_scalar_path():
+    """Vectorized token-matrix physchem == compute_modlamp on the decoded
+    strings, row for row (the pipeline's host fast path)."""
+    from controlled_peptide_generation_tpu.data import Vocab
+    from controlled_peptide_generation_tpu.evals.peptide_evals import (
+        modlamp_from_tokens)
+    rng = np.random.default_rng(0)
+    v = Vocab.build([list("ACDEFGHIKLMNPQRSTVWY")])
+    toks = rng.integers(0, len(v), size=(64, 25)).astype(np.int32)
+    toks[:, 0] = 2  # START
+    toks[5] = 1     # all-PAD row -> empty peptide
+    peps = v.to_sentences_batch(toks, print_special_tokens=False)
+    ref = compute_modlamp(pd.DataFrame({"peptide": peps}))
+    H, uH, charge = modlamp_from_tokens(toks, v.itos)
+    np.testing.assert_allclose(H, ref["H"].to_numpy(), atol=1e-12)
+    np.testing.assert_allclose(uH, ref["uH"].to_numpy(), atol=1e-12)
+    np.testing.assert_allclose(charge, ref["charge"].to_numpy(), atol=0)
+
+
+def test_to_sentences_batch_matches_per_row():
+    from controlled_peptide_generation_tpu.data import Vocab
+    rng = np.random.default_rng(1)
+    v = Vocab.build([list("ACDEFK")])
+    toks = rng.integers(0, len(v), size=(32, 12)).astype(np.int32)
+    for pst in (True, False):
+        fast = v.to_sentences_batch(toks, print_special_tokens=pst)
+        slow = [v.to_sentence(r, print_special_tokens=pst) for r in toks]
+        assert fast == slow
