@@ -184,10 +184,11 @@ def _heldout_fn(model):
                 logits = model.decode_train(params, kd, text, z, c,
                                             train=False)
                 return (L.recon_dec(text, logits),
-                        L.kl_flow_mc(mu, lv, z0, z, logdet))
+                        L.kl_flow_mc(mu, lv, z0, z, logdet), mu, lv)
             (mu, lv), _, logits = model.forward(
                 params, key, text, q_c="prior", sample_z=1, train=False)
-            return L.recon_dec(text, logits), L.kl_gaussianprior(mu, lv)
+            return (L.recon_dec(text, logits), L.kl_gaussianprior(mu, lv),
+                    mu, lv)
         _heldout_fns[id(model)] = fn
     return fn
 
@@ -199,13 +200,22 @@ def evaluate_heldout(model, params, dataset, key, n_batches=4,
     if iterator not in getattr(dataset, "_iters", {}):
         return None
     fn = _heldout_fn(model)
-    recons, kls = [], []
+    recons, kls, mus, lvs = [], [], [], []
     for i in range(n_batches):
         b = dataset.next_batch(iterator)
-        r, k = fn(params, jax.random.fold_in(key, i), jnp.asarray(b.text))
+        r, k, mu, lv = fn(params, jax.random.fold_in(key, i),
+                          jnp.asarray(b.text))
         recons.append(float(r))
         kls.append(float(k))
-    return {"recon": float(np.mean(recons)), "kl": float(np.mean(kls))}
+        mus.append(np.asarray(mu))
+        lvs.append(np.asarray(lv))
+    # Frobenius(Cov_q(z), I) over the pooled heldout encodings — the
+    # posterior-vs-prior covariance health metric (reference computed it
+    # only offline, vis/scripts/covar.py:98-102)
+    from ..vis.covar import cov_q, frobenius_to_identity
+    C, _, _ = cov_q(np.concatenate(mus), np.concatenate(lvs))
+    return {"recon": float(np.mean(recons)), "kl": float(np.mean(kls)),
+            "cov_frob": frobenius_to_identity(C)}
 
 
 def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):

@@ -122,7 +122,8 @@ def test_reconstruction_interpol(model, params, vocab, seqs_arg):
         print("#### reco interpol end source:   ", " ".join(seq2))
 
 
-def run_long_analysis(cfg, model, params, vocab, base):
+def run_long_analysis(cfg, model, params, vocab, base, with_covar=True,
+                      with_kde=True):
     fnames = {split: build_index.states_path(base, split, cfg.vae.n_iter)
               for split in ["train", "val", "test"]}
     for k, v in fnames.items():
@@ -143,6 +144,18 @@ def run_long_analysis(cfg, model, params, vocab, base):
     from controlled_peptide_generation_tpu.vis import tsne
     attributes = C.dataset_spec(cfg)["attributes"]
     tsne.eval(fnames, attributes)
+    # covariance-vs-prior + per-point density diagnostics: the reference
+    # shipped these only as commented-out calls (static_eval.py:195);
+    # here they are part of the battery (--covar/--kde 0 to skip)
+    if with_covar:
+        from controlled_peptide_generation_tpu.vis import covar
+        frob_pos, frob_unl = covar.eval(fnames)
+        LOG.info("Frobenius(Cov_q(z), I): positive %.3f, unlabeled %.3f",
+                 frob_pos, frob_unl)
+    if with_kde:
+        from controlled_peptide_generation_tpu.vis import kde
+        kde_fracs = kde.eval(fnames, attributes)
+        LOG.info("kde nonzero-density fractions: %s", kde_fracs)
 
 
 def main(argv=None):
@@ -150,7 +163,12 @@ def main(argv=None):
         ("--seqs", dict(default=DEFAULT_SEQS,
                         help="comma separated seqs to reconstruct between")),
         ("--long", dict(action="store_true", default=False,
-                        help="state dump + t-SNE/latent discriminator")),
+                        help="state dump + t-SNE/latent discriminator"
+                             " + covar/kde diagnostics")),
+        ("--covar", dict(type=int, default=1,
+                         help="with --long: Cov_q(z)-vs-identity plots")),
+        ("--kde", dict(type=int, default=1,
+                       help="with --long: per-point density diagnostics")),
     ]
     cfg, args, _ = C.parse_and_finalize(argv, extra_args=extra)
     model_path, vocab_path, base = get_model_and_vocab_path(cfg)
@@ -164,7 +182,9 @@ def main(argv=None):
         LOG.info("no result.json for this run")
 
     if args.long:
-        run_long_analysis(cfg, model, params, vocab, base)
+        run_long_analysis(cfg, model, params, vocab, base,
+                          with_covar=bool(args.covar),
+                          with_kde=bool(args.kde))
 
     test_interpolated_peptides(model, params, vocab)
     test_sampling(model, params, vocab, n_samples=4)
