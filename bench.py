@@ -21,15 +21,20 @@ See BASELINE.md for the recorded numbers.
 import argparse
 import json
 import logging
+import os
 import sys
 import time
 
 logging.basicConfig(level=logging.WARNING)
 
-# measured via `python bench.py --platform cpu [--all]` on this host
-# (1-core CPU, see BASELINE.md). Conservative stand-ins for the reference:
-# this is OUR vectorized implementation on CPU, which is itself much faster
-# than the reference's per-sentence python beam loop. The class baseline is
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "CPU_BASELINE.json")
+
+# fallback when CPU_BASELINE.json is absent: measured via
+# `python bench.py --write-baseline` on this host (1-core CPU, see
+# BASELINE.md). Conservative stand-ins for the reference: this is OUR
+# vectorized implementation on CPU, which is itself much faster than the
+# reference's per-sentence python beam loop. The class baseline is
 # like-for-like with the headline protocol (batched rounds; fp32 decode —
 # the CPU's best configuration, bf16 would be emulated and unfairly slow).
 CPU_BASELINE = {
@@ -37,6 +42,20 @@ CPU_BASELINE = {
     "wae_train_steps_per_sec": 47.9,
     "beam_decode_seqs_per_sec": 2702.0,
 }
+
+
+def load_baseline():
+    """Baseline numbers for vs_baseline: the machine-generated file when
+    present (`bench.py --write-baseline` regenerates it on this container's
+    CPU), the recorded constants otherwise."""
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as fh:
+            data = json.load(fh)
+        log(f"baseline: {BASELINE_FILE} "
+            f"(measured {data.get('measured_at', '?')})")
+        return data["metrics"]
+    log("baseline: built-in constants (run --write-baseline to regenerate)")
+    return CPU_BASELINE
 
 
 def log(msg):
@@ -169,24 +188,76 @@ def bench_reject_1m(cfg, model, params, n_latents=1_000_000):
     return n_rep * n_latents / dt
 
 
-def bench_beam(cfg, model, params, chunk=1024, n_chunks=4, beam_size=5):
+def bench_beam(cfg, model, params, chunk=1024, n_chunks=4, beam_size=5,
+               dtype="float32"):
     import jax
+    import jax.numpy as jnp
+    from controlled_peptide_generation_tpu.ops import nn
     from controlled_peptide_generation_tpu.ops.beam import beam_search
 
+    dt = jnp.dtype(dtype)
+    dec_params = params if dt == jnp.float32 else nn.cast_tree(params, dt)
     key = jax.random.PRNGKey(3)
-    z = model.sample_z_prior(key, chunk)
-    c = model.sample_c_prior(key, chunk)
-    hyps, _ = beam_search(model, params, z, c, beam_size=beam_size,
-                          n_best=1)  # compile
+
+    def decode(k1, k2):
+        z = model.sample_z_prior(k1, chunk).astype(dt)
+        c = model.sample_c_prior(k2, chunk).astype(dt)
+        return beam_search(model, dec_params, z, c, beam_size=beam_size,
+                           n_best=1)
+
+    hyps, _ = decode(key, key)  # compile
     jax.block_until_ready(hyps)
     t0 = time.perf_counter()
     for i in range(n_chunks):
-        z = model.sample_z_prior(jax.random.fold_in(key, i), chunk)
-        c = model.sample_c_prior(jax.random.fold_in(key, 100 + i), chunk)
-        hyps, _ = beam_search(model, params, z, c, beam_size=beam_size,
-                              n_best=1)
+        hyps, _ = decode(jax.random.fold_in(key, i),
+                         jax.random.fold_in(key, 100 + i))
     jax.block_until_ready(hyps)
     return (chunk * n_chunks) / (time.perf_counter() - t0)
+
+
+def bench_class_dp(cfg, model, params, n_devices, n_per_round=5000,
+                   rounds_per_dispatch=10, n_dispatches=4):
+    """CLaSS fused-round throughput sharded over an n-device mesh
+    (parallel.dp_fused_round): each device owns round_size/n candidates.
+    On a 1-chip/CPU host, run under
+    XLA_FLAGS=--xla_force_host_platform_device_count=N to measure the
+    scaling SHAPE; on a real pod the same path measures real scaling."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from controlled_peptide_generation_tpu import parallel
+    from controlled_peptide_generation_tpu.latent import density, logreg
+
+    key = jax.random.PRNGKey(4)
+    mu = 0.5 * jax.random.normal(key, (5000, model.z_dim))
+    lv = jnp.full((5000, model.z_dim), -1.5)
+    Q = density.mogQ(np.asarray(mu), np.asarray(lv), n_components=100,
+                     z_num_samples=2, covariance_type="diag", key=key)
+    w1 = jnp.zeros(model.z_dim).at[0].set(1.0)
+    w2 = jnp.zeros(model.z_dim).at[1].set(-0.5)
+    Q.init_attr_classifiers(
+        {"amp": logreg.LogRegParams(w=w1, b=jnp.asarray(0.3)),
+         "tox": logreg.LogRegParams(w=w2, b=jnp.asarray(-0.4))},
+        {"amp": 1, "tox": 0})
+
+    mesh = parallel.get_mesh(n_devices)
+    n = n_per_round * rounds_per_dispatch
+    n += (-n) % n_devices  # round size must divide over the mesh
+    _, _, accept, tokens = parallel.dp_fused_round(
+        mesh, model, params, key, Q, n)  # compile
+    jax.block_until_ready(tokens)
+    outs = []
+    t0 = time.perf_counter()
+    for r in range(n_dispatches):
+        _, _, accept, tokens = parallel.dp_fused_round(
+            mesh, model, params, jax.random.fold_in(key, r + 1), Q, n)
+        outs.append(accept)
+    jax.block_until_ready(outs[-1])
+    dt = time.perf_counter() - t0
+    accepted = sum(int(jnp.sum(a)) for a in outs)
+    log(f"CLaSS dp={n_devices}: {accepted} accepted "
+        f"({n_dispatches * n} decoded) in {dt:.2f}s")
+    return accepted / dt
 
 
 def bench_class(cfg, model, params, n_per_round=5000, min_accepted=100,
@@ -268,6 +339,41 @@ def bench_class(cfg, model, params, n_per_round=5000, min_accepted=100,
     return rate, acc_b / dt_b
 
 
+def write_baseline(cfg, model, params, fast=False):
+    """Measure the three baseline metrics on THIS host's CPU and write
+    CPU_BASELINE.json, so every container's vs_baseline is auditable
+    against machine-generated numbers instead of hand-edited constants."""
+    import datetime
+    import platform as plat
+
+    import jax
+
+    assert jax.devices()[0].platform == "cpu", (
+        "--write-baseline must run on the CPU platform "
+        "(it defines the denominator); got " + jax.devices()[0].platform)
+    kw = dict(n_per_round=1000, min_accepted=20) if fast else {}
+    _, v_class = bench_class(cfg, model, params, **kw)
+    metrics = {
+        "class_accepted_samples_per_sec": v_class,
+        "wae_train_steps_per_sec": bench_train(
+            cfg, model, params, n_steps=30 if fast else 100),
+        "beam_decode_seqs_per_sec": bench_beam(
+            cfg, model, params, n_chunks=2 if fast else 4),
+    }
+    payload = {
+        "measured_at": datetime.datetime.now().isoformat(
+            timespec="seconds"),
+        "platform": "cpu",
+        "host": plat.platform(),
+        "protocol": "bench.py --write-baseline"
+                    + (" --fast" if fast else ""),
+        "metrics": metrics,
+    }
+    with open(BASELINE_FILE, "w") as fh:
+        json.dump(payload, fh, indent=2)
+    log(f"wrote {BASELINE_FILE}: {json.dumps(metrics)}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None,
@@ -276,7 +382,24 @@ def main():
                     help="run all three metrics")
     ap.add_argument("--fast", action="store_true",
                     help="smaller round sizes (CI smoke)")
+    ap.add_argument("--write-baseline", action="store_true",
+                    help="measure the baseline metrics on this host's CPU "
+                         "and write CPU_BASELINE.json (the vs_baseline "
+                         "denominator)")
+    ap.add_argument("--dp", type=int, default=0, metavar="N",
+                    help="CLaSS scaling sweep over mesh sizes 1,2,4..N "
+                         "(virtual CPU mesh if the platform lacks devices)")
     args = ap.parse_args()
+
+    if args.write_baseline and not args.platform:
+        args.platform = "cpu"
+    if args.dp and args.platform == "cpu":
+        # must precede the first jax import: the CPU client reads XLA_FLAGS
+        # once at initialization
+        flags = [f for f in os.environ.get("XLA_FLAGS", "").split() if f and
+                 not f.startswith("--xla_force_host_platform_device_count")]
+        flags.append(f"--xla_force_host_platform_device_count={args.dp}")
+        os.environ["XLA_FLAGS"] = " ".join(flags)
 
     if args.platform:
         import jax
@@ -289,6 +412,30 @@ def main():
     log(f"devices: {jax.devices()}")
     cfg, model, params = build()
 
+    if args.write_baseline:
+        write_baseline(cfg, model, params, fast=args.fast)
+        return
+
+    if args.dp:
+        avail = len(jax.devices())
+        sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= min(args.dp, avail)]
+        if args.dp not in sizes and args.dp <= avail:
+            sizes.append(args.dp)
+        kw = dict(n_per_round=1000, n_dispatches=2) if args.fast else {}
+        rates = {n: bench_class_dp(cfg, model, params, n, **kw)
+                 for n in sizes}
+        for n, r in rates.items():
+            log(f"dp={n}: {r:.1f} accepted/s "
+                f"({r / rates[sizes[0]]:.2f}x vs dp=1)")
+        print(json.dumps({
+            "metric": "CLaSS accepted samples/sec by mesh size",
+            "value": {str(n): round(r, 1) for n, r in rates.items()},
+            "unit": "accepted samples/sec",
+            "vs_baseline": round(rates[sizes[-1]] / rates[sizes[0]], 2),
+        }))
+        return
+
+    baseline = load_baseline()
     details = {}
     kw = dict(n_per_round=1000, min_accepted=20) if args.fast else {}
     v_loop, v_class = bench_class(cfg, model, params, **kw)
@@ -300,8 +447,22 @@ def main():
     if args.all:
         details["wae_train_steps_per_sec"] = bench_train(
             cfg, model, params, n_steps=30 if args.fast else 100)
-        details["beam_decode_seqs_per_sec"] = bench_beam(
-            cfg, model, params, n_chunks=2 if args.fast else 4)
+        n_chunks = 2 if args.fast else 4
+        # beam table: chunk size x compute dtype (fp32 = bit-parity path,
+        # bf16 = MXU-native production decode; 4096 = the larger-round knob)
+        for chunk in (1024, 4096):
+            for dtype in ("float32", "bfloat16"):
+                tag = (f"beam_decode_seqs_per_sec_{chunk}_"
+                       f"{'bf16' if dtype == 'bfloat16' else 'fp32'}")
+                details[tag] = bench_beam(cfg, model, params, chunk=chunk,
+                                          n_chunks=n_chunks, dtype=dtype)
+        details["beam_decode_seqs_per_sec"] = \
+            details["beam_decode_seqs_per_sec_1024_fp32"]
+        # the 4096-candidates-per-round CLaSS shape (BENCH.md "next knob")
+        _, details["class_accepted_samples_per_sec_4096round"] = bench_class(
+            cfg, model, params,
+            **(dict(n_per_round=1000, min_accepted=20) if args.fast
+               else dict(n_per_round=4096)))
         details["full_train_steps_per_sec"] = bench_full_train(
             cfg, model, params, n_steps=20 if args.fast else 60)
         details["reject_1m_latents_per_sec"] = bench_reject_1m(
@@ -316,7 +477,7 @@ def main():
         "value": round(v_class, 3),
         "unit": "accepted samples/sec",
         "vs_baseline": round(
-            v_class / CPU_BASELINE["class_accepted_samples_per_sec"], 2),
+            v_class / baseline["class_accepted_samples_per_sec"], 2),
     }))
 
 

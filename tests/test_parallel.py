@@ -178,3 +178,40 @@ def test_dp_train_step_resamples_rf_basis():
     assert np.isfinite(float(m1["L_wae_mmdrf"]))
     # same params/batch/beta, different key -> different resampled basis
     assert float(m1["L_wae_mmdrf"]) != float(m2["L_wae_mmdrf"])
+
+
+def test_dp_fused_round_outputs_sharded_per_device():
+    """Every device owns exactly its n/D slice of the fused round: the
+    output arrays are laid out as one shard per mesh device (no silent
+    single-device execution + broadcast)."""
+    cfg = C.default_config()
+    cfg.model.z_dim = 8
+    cfg.model.emb_dim = 10
+    cfg.model.E_args.h_dim = 8
+    model = build_model(cfg.model, n_vocab=14, max_seq_len=8)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    key = jax.random.PRNGKey(1)
+
+    class _Q:
+        pass
+    Q = _Q()
+    w = jnp.zeros(model.z_dim).at[0].set(1.0)
+    Q.attr_clfs = {"amp": logreg.LogRegParams(w=w, b=jnp.asarray(0.1))}
+    Q.clf_targets = {"amp": 1}
+    qp = gmm.GMMParams(weights=jnp.ones((2,)) / 2,
+                       means=jnp.zeros((2, model.z_dim)),
+                       covars=jnp.ones((2, model.z_dim)))
+    Q._sampler = lambda: ("gmm_diag", qp)
+
+    n_dev, n = 8, 64
+    mesh = parallel.get_mesh(n_dev)
+    z, scores, accept, tokens = parallel.dp_fused_round(
+        mesh, model, params, key, Q, n, decode_dtype="float32")
+    for name, arr in [("z", z), ("accept", accept), ("tokens", tokens)]:
+        shards = arr.addressable_shards
+        assert len(shards) == n_dev, (name, len(shards))
+        devices = {s.device for s in shards}
+        assert len(devices) == n_dev, f"{name} not spread over the mesh"
+        for s in shards:
+            assert s.data.shape[0] == n // n_dev, (name, s.data.shape)
