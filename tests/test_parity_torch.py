@@ -1,8 +1,10 @@
 """Cross-framework trajectory parity: the JAX/TPU phase-1 trainer must
 track a minimal PyTorch mirror of the reference WAE (same corpus, same
 dims/losses/optimizer settings). RNGs differ, so parity is statistical —
-matched-iteration recon within tolerance and the same qualitative shape
-(recon falls, MMD-RF pinned near 0, KL free to grow)."""
+a multi-seed run per framework, final-recon means within 2 pooled
+standard deviations — plus the same qualitative WAE shape (recon falls,
+MMD-RF pinned near 0, KL free to grow). Reference quality metric:
+train_vae.py:44-53 curves."""
 
 import jax
 import jax.numpy as jnp
@@ -16,13 +18,14 @@ from controlled_peptide_generation_tpu.train.train_vae import (
     make_train_step)
 
 N_ITER = 1500
+SEEDS = (0, 1, 2)
 
 
-def run_jax(dataset, cfg, n_iter=N_ITER, log_every=100):
+def run_jax(dataset, cfg, seed, n_iter=N_ITER, log_every=100):
     model = build_model(cfg.model, n_vocab=dataset.n_vocab,
                         max_seq_len=cfg.max_seq_len)
-    params = model.init_params(jax.random.PRNGKey(0))
-    rf = L.init_rf_basis(jax.random.PRNGKey(1), model.z_dim,
+    params = model.init_params(jax.random.PRNGKey(seed))
+    rf = L.init_rf_basis(jax.random.PRNGKey(seed + 1000), model.z_dim,
                          cfg.losses.wae_mmd.rf_dim)
     cfg.vae.update(cfg.shared)
     cfg.vae.s_iter = 0
@@ -32,7 +35,7 @@ def run_jax(dataset, cfg, n_iter=N_ITER, log_every=100):
     step, opt = make_train_step(model, cfg.vae, cfg.losses, rf,
                                 donate=False)
     o = opt.init(params)
-    key = jax.random.PRNGKey(2)
+    key = jax.random.PRNGKey(seed + 2000)
     curve = []
     p = params
     for it in range(n_iter + 1):
@@ -56,17 +59,33 @@ def test_trajectory_parity_with_torch_mirror(tmp_path):
     cfg.vae.batch_size = 32
     dataset = main_mod.load_dataset(cfg)
 
-    jax_curve = run_jax(dataset, cfg)
-    torch_curve = train_torch(n_iter=N_ITER, datapath=cfg.datapath)
+    jax_curves = [run_jax(dataset, cfg, seed) for seed in SEEDS]
+    torch_curves = [train_torch(n_iter=N_ITER, datapath=cfg.datapath,
+                                seed=seed) for seed in SEEDS]
 
-    jr = {r["it"]: r for r in jax_curve}
-    tr = {r["it"]: r for r in torch_curve}
-    # matched-iteration recon within 20% relative after warmup
-    for it in (500, 1000, 1500):
-        a, b = jr[it]["recon"], tr[it]["recon"]
-        assert abs(a - b) / max(b, 1e-6) < 0.20, (it, a, b)
-    # same qualitative WAE shape in both frameworks
-    for c in (jr, tr):
-        assert c[N_ITER]["recon"] < 0.6 * c[0]["recon"]
-        assert abs(c[N_ITER]["mmdrf"]) < 0.5        # MMD pinned near 0
-        assert c[N_ITER]["kl"] > 10 * max(c[0]["kl"], 1.0)  # KL free
+    def final(curves, key="recon", it=N_ITER):
+        return np.array([{r["it"]: r for r in c}[it][key] for c in curves])
+
+    # statistical gate: matched-iteration final recon means within 2
+    # pooled standard deviations across seeds (reference curves are the
+    # quality metric; RNG streams differ so exact matching is undefined)
+    for it in (1000, N_ITER):
+        a = final(jax_curves, it=it)
+        b = final(torch_curves, it=it)
+        pooled = np.sqrt((a.std(ddof=1) ** 2 + b.std(ddof=1) ** 2) / 2.0)
+        gap = abs(a.mean() - b.mean())
+        # floor the band at 5% of the torch mean so near-zero seed
+        # variance cannot make the gate impossibly tight, and cap it at
+        # 25% relative so huge variance cannot make it vacuous
+        band = np.clip(2.0 * pooled, 0.05 * b.mean(), 0.25 * b.mean())
+        assert gap < band, (it, a.tolist(), b.tolist(), gap, band)
+        print(f"it={it}: jax recon {a.mean():.4f}±{a.std(ddof=1):.4f}, "
+              f"torch recon {b.mean():.4f}±{b.std(ddof=1):.4f}, "
+              f"gap {gap:.4f} < band {band:.4f}")
+
+    # same qualitative WAE shape in both frameworks, every seed
+    for c in jax_curves + torch_curves:
+        by_it = {r["it"]: r for r in c}
+        assert by_it[N_ITER]["recon"] < 0.6 * by_it[0]["recon"]
+        assert abs(by_it[N_ITER]["mmdrf"]) < 0.5     # MMD pinned near 0
+        assert by_it[N_ITER]["kl"] > 10 * max(by_it[0]["kl"], 1.0)  # KL free
