@@ -189,6 +189,16 @@ def _m_step_full(X, log_resp, reg_covar):
 def fit(key, X, n_components, covariance_type="diag", max_iter=100,
         tol=1e-3, reg_covar=1e-6, kmeans_iters=10):
     """Fit by EM. Returns (GMMParams, GMMFitInfo)."""
+    with jax.default_matmul_precision("highest"):
+        return _fit(key, X, n_components, covariance_type, max_iter, tol,
+                    reg_covar, kmeans_iters)
+
+
+def _fit(key, X, n_components, covariance_type, max_iter, tol, reg_covar,
+         kmeans_iters):
+    # full-fp32 contractions: TPU default precision (bf16-mantissa MXU
+    # passes on fp32 arrays) visibly degrades the E-step quadratics and
+    # M-step moments; the EM is setup-time work, accuracy wins
     K = n_components
     means = _kmeanspp(key, X, K)
     if kmeans_iters:

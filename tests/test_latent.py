@@ -210,3 +210,23 @@ def test_mogQ_tied_end_to_end():
     zs, scores, accept = Q.rejection_sample(jax.random.PRNGKey(6), 128)
     assert zs.shape == (128, 8)
     assert accept.dtype == bool or accept.dtype == np.bool_
+
+
+def test_logreg_separable_data_stays_finite():
+    """Linearly separable inputs saturate the sigmoids and zero out the
+    unpenalized-intercept row of the Newton Hessian; the damped/backtracked
+    solver must stay finite (this exact failure produced NaN AUCs in the
+    latent-discriminator battery on heavily overfit encoders)."""
+    rng = np.random.default_rng(7)
+    X = np.concatenate([rng.normal(size=(50, 16)) + 8.0,
+                        rng.normal(size=(50, 16)) - 8.0]).astype(np.float32)
+    y = np.concatenate([np.ones(50), np.zeros(50)]).astype(np.float32)
+    ours, n_iter = logreg.fit(jnp.asarray(X), jnp.asarray(y))
+    assert np.isfinite(np.asarray(ours.w)).all()
+    assert np.isfinite(float(ours.b))
+    p = np.asarray(logreg.predict_proba(ours, jnp.asarray(X)))
+    assert np.isfinite(p).all()
+    assert float(logreg.accuracy(ours, jnp.asarray(X), jnp.asarray(y))) == 1.0
+    sk = LogisticRegression(solver="lbfgs", max_iter=500).fit(X, y)
+    np.testing.assert_allclose(np.asarray(ours.w), sk.coef_[0],
+                               rtol=5e-2, atol=5e-2)
