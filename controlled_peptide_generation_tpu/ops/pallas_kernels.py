@@ -1,12 +1,16 @@
-"""Pallas TPU kernels for the hot ops: fused GRU sequence and WAE-MMD.
+"""EXPERIMENTAL Pallas TPU kernels: fused GRU sequence and WAE-MMD.
 
-These exist alongside the pure-XLA implementations (ops/gru.py,
-ops/losses.py) and are selected explicitly. Measurement (see BENCH.md):
-at the reference's sizes (B=32..1024, H=80..102, N=32 latents) the XLA
-paths compile to near-identical code — the recurrences are VMEM-resident
-either way — so XLA remains the default; the kernels matter at larger
-hidden sizes / batch counts where keeping the recurrent state pinned in
-VMEM across all T steps avoids HBM round-trips.
+Status: NOT on any production path. These exist alongside the pure-XLA
+implementations (ops/gru.py, ops/losses.py) and are selected explicitly.
+Measured twice (rounds 1 and 2, BENCH.md): at the reference's sizes
+(B=32..1024, H=80..102, N=32 latents) XLA is at parity or faster — the
+recurrences are VMEM-resident either way — and at larger shapes
+(B>=4096 or H>=512) this single-block kernel exceeds VMEM and fails to
+compile. Making it win would need a grid over batch tiles with the
+recurrent state double-buffered per tile; until someone needs GRUs at
+those sizes the XLA scan is the right answer, so the kernels stay as a
+validated starting point (interpret-mode tests in test_pallas.py), not a
+production dispatch.
 
 Kernel notes:
 * gru_sequence: the input projection x@Wi for the WHOLE sequence is done by
