@@ -138,7 +138,13 @@ def make_dp_train_scan(model, cfgv, cfg_losses, rf_basis, mesh, unroll,
     return train_chunk, optimizer
 
 
-_dp_round_cache = {}  # (mesh, model, kind, n, ...) -> jitted round fn
+# (id(mesh), id(model), kind, n, ...) -> (jitted fn, mesh, model).
+# The value holds STRONG references to the mesh and model whose ids are in
+# the key: ids are only reusable after their object is garbage-collected,
+# so pinning the objects for the cache entry's lifetime makes id collisions
+# (a stale fn closed over a dead mesh's shardings) impossible, including in
+# long-lived services that rebuild meshes/models.
+_dp_round_cache = {}
 
 
 def dp_fused_round(mesh, model, params, key, Q, n, beam_size=5,
@@ -161,7 +167,8 @@ def dp_fused_round(mesh, model, params, key, Q, n, beam_size=5,
 
     cache_key = (id(mesh), id(model), kind, n, beam_size, decode_dtype,
                  axis)
-    fn = _dp_round_cache.get(cache_key)
+    entry = _dp_round_cache.get(cache_key)
+    fn = entry[0] if entry is not None else None
     if fn is None:
         repl = NamedSharding(mesh, P())
         out_sh = NamedSharding(mesh, P(axis))
@@ -174,7 +181,7 @@ def dp_fused_round(mesh, model, params, key, Q, n, beam_size=5,
         fn = jax.jit(body,
                      in_shardings=(repl, repl, repl, repl, repl, repl),
                      out_shardings=(out_sh,) * 6)
-        _dp_round_cache[cache_key] = fn
+        _dp_round_cache[cache_key] = (fn, mesh, model)
     z, c, probs, accum, accept, tokens = fn(
         params, key, q_params, clf_w, clf_b, targets)
     scores = {f"{prefix}_prob_accum": accum}
