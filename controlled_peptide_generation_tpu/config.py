@@ -305,6 +305,15 @@ def default_config():
         fused_rounds=True,    # CLaSS: rejection+decode fused into one jit
         rounds_per_dispatch=1,  # CLaSS rounds drawn per device dispatch
         rounds_in_flight=2,   # CLaSS dispatches queued ahead of host work
+        decode_mode="all",    # CLaSS: "all" beam-decodes every candidate
+                              # (reference contract: the saved full sample
+                              # list covers rejected candidates too);
+                              # "accepted" decodes only accepted ones
+                              # (identical accepted output set, ~2-3x
+                              # faster rounds at typical accept rates)
+        accept_cap_frac=0.5,  # decode_mode=accepted: decode-slot capacity
+                              # as a fraction of the round size; accepted
+                              # candidates beyond it are dropped unbiasedly
         gen_dtype="bfloat16",  # CLaSS decode compute dtype (MXU-native;
                                # rejection + beam scores stay fp32);
                                # set float32 for bit-parity with the API

@@ -11,6 +11,18 @@ makes one round one dispatch.
 Semantically identical to the reference round (sample_pipeline.py:196-229):
 every candidate is decoded (not just accepted ones), top-1 beam hypothesis
 kept.
+
+Accepted-only decode (``capacity``): the reference beam-decodes every
+candidate, but only accepted ones are ever consumed downstream — at the
+typical ~30% acceptance rate two thirds of the round's device time decodes
+sequences that are immediately discarded. With ``capacity=K`` the round
+compacts the accepted latents to the front (stable argsort on the accept
+mask — a [n] bool sort, negligible next to the decode) and beam-decodes
+only the first K slots. The accepted output set is bit-identical to the
+decode-all round's accepted subset (same draws, same accept test, same
+per-latent beam program); accepted candidates beyond K are dropped
+unbiasedly (draws are i.i.d., so a prefix of the accepted stream is an
+identical sample) and the next round replaces them.
 """
 
 from functools import partial
@@ -24,9 +36,17 @@ from . import gmm as gmm_mod
 
 
 def _round_body(model, params, key, kind, q_params, clf_w, clf_b, targets,
-                n, beam_size=5, decode_dtype="bfloat16"):
+                n, beam_size=5, decode_dtype="bfloat16", capacity=None):
     """The round computation, un-jitted: jitted directly for single-device
-    use (below) and wrapped with mesh shardings by parallel.dp_fused_round."""
+    use (below) and wrapped with mesh shardings by parallel.dp_fused_round.
+
+    capacity=None decodes all n candidates (reference semantics) and
+    returns a 6-tuple; capacity=K compacts accepted latents to the front
+    and decodes only K slots, returning an 8-tuple (..., idx, valid) where
+    idx[j] is the candidate index decoded into slot j and valid[j] marks
+    slots holding a real accepted candidate. In compact mode the returned
+    z/probs/accum are the K gathered rows (rejected rows are never fetched
+    to host)."""
     kz, ku, kc = jax.random.split(key, 3)
     cov_type = kind.split("_", 1)[1]
     # rejection math stays fp32 (acceptance probabilities are the product
@@ -44,6 +64,14 @@ def _round_body(model, params, key, kind, q_params, clf_w, clf_b, targets,
     # decoded latent is flow(z). The returned z stays the raw draw
     # (the reference stores pre-decode samples_z).
     z_dec = model.apply_flow(params, z)[0] if model.flow > 0 else z
+    idx = valid = None
+    if capacity is not None:
+        # accepted-first compaction: stable sort keeps candidate order, so
+        # slot j holds the j-th accepted candidate of the round
+        idx = jnp.argsort(jnp.logical_not(accept), stable=True)[:capacity]
+        valid = jnp.arange(capacity) < jnp.sum(accept)
+        z, probs, accum = z[idx], probs[idx], accum[idx]
+        z_dec, c = z_dec[idx], c[idx]
     # the beam decode runs in the MXU-native dtype (measured ~7x on the
     # T=25 GRU recurrence at these shapes); beam score bookkeeping is
     # fp32 inside beam_search regardless (logits cast before log_softmax)
@@ -55,25 +83,35 @@ def _round_body(model, params, key, kind, q_params, clf_w, clf_b, targets,
         dec_params, z_d, c_d = params, z_dec, c
     hyps, scores = beam_search(model, dec_params, z_d, c_d,
                                beam_size=beam_size, n_best=1)
-    return z, c, probs, accum, accept, hyps[:, 0, :]
+    if capacity is None:
+        return z, c, probs, accum, accept, hyps[:, 0, :]
+    return z, c, probs, accum, accept, hyps[:, 0, :], idx, valid
 
 
 _fused_round = partial(jax.jit, static_argnames=(
-    "model", "kind", "n", "beam_size", "decode_dtype"))(_round_body)
+    "model", "kind", "n", "beam_size", "decode_dtype",
+    "capacity"))(_round_body)
 
 
 def fused_round(model, params, key, Q, n, beam_size=5, prefix="clfZ",
-                decode_dtype="bfloat16"):
-    """One dispatch: returns (z, scores dict, accept, tokens [n, T+1])."""
+                decode_dtype="bfloat16", capacity=None):
+    """One dispatch: returns (z, scores dict, accept, tokens [n, T+1]).
+
+    With capacity=K, only accepted candidates are beam-decoded (see module
+    docstring); the return grows to (z, scores, accept, tokens [K, T+1],
+    idx [K], valid [K]) and z/scores carry the K compacted rows."""
     names = sorted(Q.attr_clfs)
     clf_w = jnp.stack([Q.attr_clfs[a].w for a in names])
     clf_b = jnp.stack([Q.attr_clfs[a].b for a in names])
     targets = jnp.array([Q.clf_targets[a] for a in names])
     kind, q_params = Q._sampler()
-    z, c, probs, accum, accept, tokens = _fused_round(
+    out = _fused_round(
         model, params, key, kind, q_params, clf_w, clf_b, targets, n,
-        beam_size, decode_dtype)
+        beam_size, decode_dtype, capacity)
+    z, c, probs, accum, accept, tokens = out[:6]
     scores = {f"{prefix}_prob_accum": accum}
     for i, a in enumerate(names):
         scores[f"{prefix}_{a}={Q.clf_targets[a]}"] = probs[:, i]
-    return z, scores, accept, tokens
+    if capacity is None:
+        return z, scores, accept, tokens
+    return z, scores, accept, tokens, out[6], out[7]

@@ -148,17 +148,28 @@ _dp_round_cache = {}
 
 
 def dp_fused_round(mesh, model, params, key, Q, n, beam_size=5,
-                   axis="data", decode_dtype="bfloat16", prefix="clfZ"):
+                   axis="data", decode_dtype="bfloat16", prefix="clfZ",
+                   capacity=None):
     """Whole CLaSS round — GMM draw, classifier heads, accept test,
     c-prior and full-batch beam decode — as ONE program sharded over the
     mesh batch axis. Each device owns n/D candidates end to end (the round
     is embarrassingly parallel until the host-side dedup), so throughput
     scales with the mesh; params are replicated and no collectives are
-    needed inside the round."""
+    needed inside the round.
+
+    capacity=K enables accepted-only decode (latent/fused.py): the global
+    accepted-first compaction is the only cross-device step (XLA lowers the
+    [n]-bool argsort + [K]-row gather to ICI collectives, negligible next
+    to the K-batch beam decode sharded over the mesh). Results are
+    bit-identical to the single-device compact round; the return grows to
+    (z, scores, accept, tokens, idx, valid) as in fused_round."""
     from ..latent.fused import _round_body
 
     n_dev = mesh.devices.size
     assert n % n_dev == 0, f"round size {n} must divide over {n_dev} devices"
+    if capacity is not None:
+        assert capacity % n_dev == 0, (
+            f"decode capacity {capacity} must divide over {n_dev} devices")
     names = sorted(Q.attr_clfs)
     clf_w = jnp.stack([Q.attr_clfs[a].w for a in names])
     clf_b = jnp.stack([Q.attr_clfs[a].b for a in names])
@@ -166,7 +177,7 @@ def dp_fused_round(mesh, model, params, key, Q, n, beam_size=5,
     kind, q_params = Q._sampler()
 
     cache_key = (id(mesh), id(model), kind, n, beam_size, decode_dtype,
-                 axis)
+                 axis, capacity)
     entry = _dp_round_cache.get(cache_key)
     fn = entry[0] if entry is not None else None
     if fn is None:
@@ -176,18 +187,22 @@ def dp_fused_round(mesh, model, params, key, Q, n, beam_size=5,
         def body(params, key, q_params, cw, cb, tg):
             return _round_body(model, params, key, kind, q_params, cw, cb,
                                tg, n, beam_size=beam_size,
-                               decode_dtype=decode_dtype)
+                               decode_dtype=decode_dtype,
+                               capacity=capacity)
 
+        n_out = 6 if capacity is None else 8
         fn = jax.jit(body,
                      in_shardings=(repl, repl, repl, repl, repl, repl),
-                     out_shardings=(out_sh,) * 6)
+                     out_shardings=(out_sh,) * n_out)
         _dp_round_cache[cache_key] = (fn, mesh, model)
-    z, c, probs, accum, accept, tokens = fn(
-        params, key, q_params, clf_w, clf_b, targets)
+    out = fn(params, key, q_params, clf_w, clf_b, targets)
+    z, c, probs, accum, accept, tokens = out[:6]
     scores = {f"{prefix}_prob_accum": accum}
     for i, a in enumerate(names):
         scores[f"{prefix}_{a}={Q.clf_targets[a]}"] = probs[:, i]
-    return z, scores, accept, tokens
+    if capacity is None:
+        return z, scores, accept, tokens
+    return z, scores, accept, tokens, out[6], out[7]
 
 
 def dp_rejection_round(mesh, sampler, clf_w, clf_b, targets, key, n,

@@ -178,6 +178,18 @@ def decode_from_z(z, model, params, dataset, key=None, chunk=1024,
     return dataset.idx2sentences(tokens, print_special_tokens=False)
 
 
+def round_capacity(cfg, n_samples, mesh=None):
+    """Decode-slot capacity for hw.decode_mode="accepted", or None for the
+    decode-all reference contract."""
+    if cfg.hw.get("decode_mode", "all") != "accepted":
+        return None
+    frac = float(cfg.hw.get("accept_cap_frac", 0.5))
+    capacity = max(int(round(n_samples * frac)), 1)
+    if mesh is not None:
+        capacity += (-capacity) % mesh.devices.size
+    return capacity
+
+
 def launch_round(cfg, model, params, Q, n_samples, key, fused=True,
                  mesh=None):
     """Dispatch one round's device work WITHOUT materializing results.
@@ -188,28 +200,40 @@ def launch_round(cfg, model, params, Q, n_samples, key, fused=True,
     mesh, the same program runs sharded over the batch axis
     (parallel.dp_fused_round): each device owns n/D candidates.
 
-    Returns (z, scores dict, accept, tokens) as device arrays: jax
-    dispatch is asynchronous, so the caller can overlap this round's
+    Returns (z, scores dict, accept, tokens, idx, valid) as device arrays:
+    jax dispatch is asynchronous, so the caller can overlap this round's
     compute with the previous round's host-side bookkeeping (the
-    reference's loop is strictly serial, sample_pipeline.py:303-323)."""
+    reference's loop is strictly serial, sample_pipeline.py:303-323).
+    Under hw.decode_mode="all" every candidate is decoded and idx/valid
+    are None; under "accepted" only accepted candidates occupy the
+    fixed-capacity decode slots (latent/fused.py module docstring) and
+    z/scores/tokens carry the compacted rows, valid marking real ones."""
+    capacity = round_capacity(cfg, n_samples, mesh)
+    idx = valid = None
     if fused and mesh is not None:
         from . import parallel
-        z, scores, accept, tokens = parallel.dp_fused_round(
+        out = parallel.dp_fused_round(
             mesh, model, params, key, Q, n_samples,
             axis=cfg.hw.get("mesh_axis", "data"),
-            decode_dtype=cfg.hw.get("gen_dtype", "bfloat16"))
+            decode_dtype=cfg.hw.get("gen_dtype", "bfloat16"),
+            capacity=capacity)
     else:
         from .latent.fused import fused_round
-        z, scores, accept, tokens = fused_round(
+        out = fused_round(
             model, params, key, Q, n_samples,
-            decode_dtype=cfg.hw.get("gen_dtype", "bfloat16"))
+            decode_dtype=cfg.hw.get("gen_dtype", "bfloat16"),
+            capacity=capacity)
+    if capacity is None:
+        z, scores, accept, tokens = out
+    else:
+        z, scores, accept, tokens, idx, valid = out
     # downcast on device before the host fetch: z rows are only kept as a
     # float16 artifact column, and token ids fit a byte — over a tunneled
     # TPU the D2H transfer is a visible slice of the round
     z = z.astype(jnp.float16)
     if model.n_vocab < 256:
         tokens = tokens.astype(jnp.uint8)
-    return z, scores, accept, tokens
+    return z, scores, accept, tokens, idx, valid
 
 
 def get_new_samples(cfg, model, params, dataset, Q, n_samples, key,
@@ -217,8 +241,16 @@ def get_new_samples(cfg, model, params, dataset, Q, n_samples, key,
     """One round: rejection-sample z's, decode all of them, assemble the
     per-sample dataframe (reference sample_pipeline.py:196-208)."""
     if fused:
-        samples_z, scores_z, accept_z, tokens = launch_round(
+        samples_z, scores_z, accept_z, tokens, idx, valid = launch_round(
             cfg, model, params, Q, n_samples, key, fused=True, mesh=mesh)
+        if valid is not None:
+            # accepted-only decode: only the valid compacted slots are
+            # real samples; every stored row is accepted by construction
+            v = np.asarray(valid)
+            samples_z = np.asarray(samples_z)[v]
+            scores_z = {k: np.asarray(s)[v] for k, s in scores_z.items()}
+            tokens = np.asarray(tokens)[v]
+            accept_z = np.ones(tokens.shape[0], bool)
         samples = dataset.idx2sentences(np.asarray(tokens),
                                         print_special_tokens=False)
     else:
@@ -371,6 +403,7 @@ def _fused_sampling_loop(cfg, args, model, params, dataset, Q, key,
              "charge": []}
     score_store = {}
     n_total = n_accept = 0
+    n_cand_seen = n_accept_z_seen = 0
     round_ix = 0
     inflight = deque()
 
@@ -390,12 +423,29 @@ def _fused_sampling_loop(cfg, args, model, params, dataset, Q, key,
         # and an unused in-flight round costs the host nothing
         while len(inflight) < depth:
             launch_one()
-        z_d, scores_d, accept_d, tokens_d = inflight.popleft()
+        z_d, scores_d, accept_d, tokens_d, idx_d, valid_d = \
+            inflight.popleft()
         # materialize round R (blocks until its device program finishes)
         tokens = np.asarray(tokens_d).astype(np.int32)
         z = np.asarray(z_d)
-        accept_z = np.asarray(accept_d)
+        accept_full = np.asarray(accept_d)
+        n_candidates = accept_full.shape[0]
         scores = {k: np.asarray(v) for k, v in scores_d.items()}
+        if valid_d is not None:
+            # accepted-only decode: keep the valid compacted slots; every
+            # surviving row is accepted by construction. Accepted
+            # candidates beyond the decode capacity were dropped on device
+            # (unbiased — i.i.d. draws) and count as neither seen nor kept.
+            v = np.asarray(valid_d)
+            over_cap = int(accept_full.sum()) - int(v.sum())
+            if over_cap > 0:
+                LOG.info("Accepted candidates beyond decode capacity "
+                         "dropped: %d", over_cap)
+            tokens, z = tokens[v], z[v]
+            scores = {k: s[v] for k, s in scores.items()}
+            accept_z = np.ones(tokens.shape[0], bool)
+        else:
+            accept_z = accept_full
 
         # ---- host-side bookkeeping for round R ----
         peptides = dataset.idx2sentences(tokens,
@@ -419,8 +469,16 @@ def _fused_sampling_loop(cfg, args, model, params, dataset, Q, key,
             score_store.setdefault(k, []).append(v[keep])
         n_total += int(keep.sum())
         n_accept += int(accept_z[keep].sum())
-        _log_round_rates(n_accept, n_accept, n_total,
-                         len(peptides) - int(keep.sum()))
+        n_cand_seen += n_candidates
+        n_accept_z_seen += int(accept_full.sum())
+        if valid_d is None:
+            _log_round_rates(n_accept, n_accept, n_total,
+                             len(peptides) - int(keep.sum()))
+        else:
+            # accepted-only decode: rate denominators are the candidates
+            # drawn, since rejected ones are never materialized host-side
+            _log_round_rates(n_accept_z_seen, n_accept, n_cand_seen,
+                             len(peptides) - int(keep.sum()))
         if n_total >= args.n_samples_acc and n_accept >= args.n_samples_acc:
             break
 

@@ -99,6 +99,63 @@ def test_fused_round_equals_composed_stages(setup):
                                   np.asarray(hyps[:, 0, :]))
 
 
+def test_compact_round_matches_decode_all_accepted_subset(setup):
+    """Accepted-only decode (capacity=K): the valid compacted slots must
+    hold EXACTLY the decode-all round's accepted candidates — same order,
+    same tokens, same z/score rows — for the same key."""
+    cfg, model, params, rf = setup
+    from controlled_peptide_generation_tpu.latent import density, logreg
+    from controlled_peptide_generation_tpu.latent.fused import fused_round
+
+    D = model.z_dim
+    rng = np.random.default_rng(1)
+    mu = rng.normal(size=(200, D)).astype(np.float32)
+    lv = np.full((200, D), -1.0, np.float32)
+    Q = density.mogQ(mu, lv, n_components=4, z_num_samples=2,
+                     key=jax.random.PRNGKey(0))
+    w = jnp.zeros(D).at[0].set(1.0)
+    Q.init_attr_classifiers(
+        {"amp": logreg.LogRegParams(w=w, b=jnp.asarray(0.2)),
+         "tox": logreg.LogRegParams(w=-w, b=jnp.asarray(-0.1))},
+        {"amp": 1, "tox": 0})
+
+    key = jax.random.PRNGKey(11)
+    n = 64
+    z_all, sc_all, acc_all, tok_all = fused_round(
+        model, params, key, Q, n, decode_dtype="float32")
+    acc_np = np.asarray(acc_all)
+    n_acc = int(acc_np.sum())
+    assert 0 < n_acc < n, "test needs a mixed accept mask"
+
+    # ample capacity: every accepted candidate gets a decode slot
+    cap = n_acc + 4
+    z_c, sc_c, acc_c, tok_c, idx, valid = fused_round(
+        model, params, key, Q, n, decode_dtype="float32", capacity=cap)
+    np.testing.assert_array_equal(np.asarray(acc_c), acc_np)
+    v = np.asarray(valid)
+    assert int(v.sum()) == n_acc and v[:n_acc].all()
+    acc_idx = np.nonzero(acc_np)[0]
+    np.testing.assert_array_equal(np.asarray(idx)[:n_acc], acc_idx)
+    np.testing.assert_array_equal(np.asarray(tok_c)[:n_acc],
+                                  np.asarray(tok_all)[acc_idx])
+    np.testing.assert_allclose(np.asarray(z_c)[:n_acc],
+                               np.asarray(z_all)[acc_idx], atol=1e-6)
+    for k in sc_all:
+        np.testing.assert_allclose(np.asarray(sc_c[k])[:n_acc],
+                                   np.asarray(sc_all[k])[acc_idx],
+                                   atol=1e-6)
+
+    # tight capacity: a PREFIX of the accepted stream survives
+    cap2 = max(n_acc // 2, 1)
+    _, _, _, tok_t, idx_t, valid_t = fused_round(
+        model, params, key, Q, n, decode_dtype="float32", capacity=cap2)
+    vt = np.asarray(valid_t)
+    assert vt.all()  # more accepted than slots: every slot is valid
+    np.testing.assert_array_equal(np.asarray(idx_t), acc_idx[:cap2])
+    np.testing.assert_array_equal(np.asarray(tok_t),
+                                  np.asarray(tok_all)[acc_idx[:cap2]])
+
+
 def test_bf16_decode_quality_vs_fp32():
     """The CLaSS decode runs in bfloat16 (hw.gen_dtype). Quality gate:
     the fp32-rescored log-prob of bf16-decoded beam hypotheses must be

@@ -169,6 +169,38 @@ def test_pipeline_Q_from_dataloader_and_amppos(trained_run):
     assert os.path.exists(outfn + ".csv")
 
 
+def test_pipeline_accepted_only_decode(trained_run):
+    """hw.decode_mode="accepted" runs the whole pipeline decoding only
+    accepted candidates: every output row is accepted, and the artifact
+    schema is unchanged."""
+    cfg, _ = trained_run
+    model, params, vocab, base = _load(cfg)
+    dataset = main_mod.load_dataset(cfg)
+    build_index.extract_from_dataset(
+        model, params, vocab, cfg, dataset, base, cfg.vae.n_iter,
+        max_examples=300)
+    cfg = cfg.copy()
+    cfg.hw.decode_mode = "accepted"
+    args = argparse.Namespace(
+        Q_n_components=4, Q_covariance_type="diag",
+        n_samples_per_round=64, n_samples_acc=5,
+        samples_outfn_prefix="acceptedsamples",
+        Q_select_amppos=0, Q_from_full_dataloader=False)
+    outfn = pipeline.run(cfg, args)
+    import pandas as pd
+    df = pd.read_pickle(outfn + ".pkl")
+    assert {"peptide", "z", "accept_z", "accept", "H", "uH",
+            "charge"}.issubset(df.columns)
+    assert df["accept"].all() and len(df) >= 5
+    assert df["peptide"].is_unique
+    # z column carries real compacted latent rows
+    assert df["z"].iloc[0].shape == (cfg.model.z_dim,)
+    # the accepted file equals the full file in this mode
+    accepted = pd.read_pickle(
+        f"{outfn}.accepted.{len(df)}.pkl")
+    assert len(accepted) == len(df)
+
+
 def test_pipeline_dp_mesh_rounds(trained_run):
     """hw.dp shards the fused CLaSS rounds over the device mesh inside
     pipeline.run (parallel.dp_fused_round)."""

@@ -146,6 +146,56 @@ def test_dp_fused_round_matches_single_device():
                                    atol=1e-6)
 
 
+def test_dp_compact_round_matches_single_device():
+    """Accepted-only decode under the mesh: the sharded compact round must
+    reproduce the single-device compact round exactly (the accepted-first
+    compaction is a deterministic global sort+gather)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from controlled_peptide_generation_tpu import config as C, parallel
+    from controlled_peptide_generation_tpu.latent import (density, fused,
+                                                          logreg)
+    from controlled_peptide_generation_tpu.models import build_model
+
+    cfg = C.default_config()
+    cfg.model.z_dim = 8
+    cfg.model.emb_dim = 10
+    cfg.model.E_args.h_dim = 8
+    model = build_model(cfg.model, n_vocab=14, max_seq_len=8)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    key = jax.random.PRNGKey(2)
+    mu = 0.3 * jax.random.normal(key, (200, model.z_dim))
+    lv = jnp.full((200, model.z_dim), -1.5)
+    Q = density.mogQ(np.asarray(mu), np.asarray(lv), n_components=4,
+                     z_num_samples=2, covariance_type="diag", key=key)
+    w = jnp.zeros(model.z_dim).at[0].set(1.0)
+    Q.init_attr_classifiers(
+        {"amp": logreg.LogRegParams(w=w, b=jnp.asarray(0.1)),
+         "tox": logreg.LogRegParams(w=-w, b=jnp.asarray(-0.2))},
+        {"amp": 1, "tox": 0})
+
+    n, cap = 64, 32
+    z1, s1, a1, t1, i1, v1 = fused.fused_round(
+        model, params, key, Q, n, decode_dtype="float32", capacity=cap)
+    mesh = parallel.get_mesh(4)
+    z2, s2, a2, t2, i2, v2 = parallel.dp_fused_round(
+        mesh, model, params, key, Q, n, decode_dtype="float32",
+        capacity=cap)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    m = np.asarray(v1)
+    assert m.any(), "test needs at least one accepted candidate"
+    np.testing.assert_array_equal(np.asarray(i1)[m], np.asarray(i2)[m])
+    np.testing.assert_array_equal(np.asarray(t1)[m], np.asarray(t2)[m])
+    np.testing.assert_allclose(np.asarray(z1)[m], np.asarray(z2)[m],
+                               atol=1e-6)
+    for k in s1:
+        np.testing.assert_allclose(np.asarray(s1[k])[m],
+                                   np.asarray(s2[k])[m], atol=1e-6)
+
+
 def test_dp_train_step_resamples_rf_basis():
     """rf_basis=None (losses.wae_mmd.rf_resample) must resample the RF
     basis per step under DP too — identical inputs at different iteration
