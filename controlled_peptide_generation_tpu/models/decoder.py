@@ -10,8 +10,8 @@ teacher-forced scan and the free-running step used by sampling/beam.
 import jax
 import jax.numpy as jnp
 
-from ..data.vocab import UNK_IDX
-from ..ops.gru import init_gru_params, gru_cell, gru_scan
+from ..data.vocab import UNK_IDX, PAD_IDX
+from ..ops.gru import init_gru_params, gru_cell_pregated, gru_scan
 from ..ops import nn
 
 
@@ -70,16 +70,31 @@ def apply_step(params, emb_params, token_hard, token_soft, z, c, h,
     token_soft ([B, V] probabilities, differentiable) takes precedence over
     token_hard ([B] indices) — reference decoder.py:86-97.
     Returns (logits [B, V], h' [B, H]).
+
+    TPU-first restructuring: the step input is [emb(token), z, c], so its
+    GRU input projection factors into a token part and a (z, c) part, BOTH
+    loop-invariant inside the sampling/beam scan — the token part because
+    the vocab is tiny (V~26: a [V, 3H] table replaces the per-step
+    [B, E+H]x[E+H, 3H] matmul with a gather), the (z, c) part because z/c
+    are fixed per sequence (one [B, 3H] vector). XLA's while-loop LICM
+    hoists both out of the recurrence, leaving only the [B, H]x[H, 3H]
+    recurrent matmul per step (~2.4x faster beam decode measured at the
+    reference shapes, BENCH.md). Same math as projecting the concatenated
+    input, regrouped — differences are accumulation-order ulps.
     """
+    wi, bi = params["gru"]["wi"], params["gru"]["bi"]
+    E = emb_params["w"].shape[1]
+    emb_w = emb_params["w"].at[PAD_IDX].set(0.0)
+    tok_table = emb_w @ wi[:E]                    # [V, 3H] loop-invariant
+    zc = jnp.concatenate([z, c], axis=1)
+    zc_gi = zc @ wi[E:] + bi                      # [B, 3H] loop-invariant
     if token_soft is not None:
-        emb = nn.soft_embed(emb_params, token_soft)
+        gi = token_soft @ tok_table + zc_gi
     else:
-        emb = nn.embed(emb_params, token_hard)
-    x = jnp.concatenate([emb, z, c], axis=1)
-    h_new = gru_cell(params["gru"], x, h)
+        gi = tok_table[token_hard] + zc_gi
+    h_new = gru_cell_pregated(params["gru"], gi, h)
     if key is None:
         key = jax.random.PRNGKey(0)
-    zc = jnp.concatenate([z, c], axis=1)
     logits = _head(params, h_new, zc, skip_connections, p_out_dropout,
                    key, train)
     return logits, h_new

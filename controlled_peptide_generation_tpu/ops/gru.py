@@ -56,6 +56,17 @@ def gru_cell(params, x, h):
     return _gates(gi, gh, h)
 
 
+def gru_cell_pregated(params, gi, h):
+    """One step with the input projection ALREADY applied (gi = x@wi+bi).
+
+    Lets callers whose per-step input has loop-invariant factors (e.g. the
+    decoder's [emb(token), z, c] input inside a sampling/beam scan) hoist
+    those projections out of the recurrence; only the [B,H]x[H,3H]
+    recurrent matmul remains per step."""
+    gh = h @ params["wh"] + params["bh"]
+    return _gates(gi, gh, h)
+
+
 @partial(jax.jit, static_argnames=("reverse",))
 def gru_scan(params, xs, h0, reverse=False):
     """Full-sequence GRU.
