@@ -227,10 +227,11 @@ def launch_round(cfg, model, params, Q, n_samples, key, fused=True,
         z, scores, accept, tokens = out
     else:
         z, scores, accept, tokens, idx, valid = out
-    # downcast on device before the host fetch: z rows are only kept as a
-    # float16 artifact column, and token ids fit a byte — over a tunneled
-    # TPU the D2H transfer is a visible slice of the round
+    # downcast on device before the host fetch: z and the score columns are
+    # only kept as float16 artifact columns, and token ids fit a byte —
+    # over a tunneled TPU the D2H transfer is a visible slice of the round
     z = z.astype(jnp.float16)
+    scores = {k: v.astype(jnp.float16) for k, v in scores.items()}
     if model.n_vocab < 256:
         tokens = tokens.astype(jnp.uint8)
     return z, scores, accept, tokens, idx, valid
@@ -374,6 +375,40 @@ def run(cfg, args):
     return save_samples(samples, cfg.savepath, args.samples_outfn_prefix)
 
 
+@jax.jit
+def _gather_rows(a, idx):
+    return a[idx]
+
+
+def _gather_z_rows_async(z_dev, slot_idx):
+    """Dispatch a device gather of the kept z rows; do NOT materialize.
+
+    Returns (device_array, k): the caller keeps the handle and fetches at
+    DataFrame-assembly time, so the gather rides the device queue behind
+    the in-flight rounds without ever blocking the host loop. slot_idx is
+    padded to the next power of two so the tiny gather program compiles
+    O(log n) times per process instead of once per distinct kept count;
+    the padded tail is sliced off at materialization."""
+    k = len(slot_idx)
+    if k == 0:
+        return None, 0
+    pad = 1 << (k - 1).bit_length()
+    idx = np.zeros(pad, np.int32)
+    idx[:k] = slot_idx
+    g = _gather_rows(z_dev, jnp.asarray(idx))
+    if hasattr(g, "copy_to_host_async"):
+        g.copy_to_host_async()
+    return g, k
+
+
+def _materialize_z(parts):
+    """[(device_array|None, k)] -> one [N, D] host array of kept z rows."""
+    rows = [np.asarray(g)[:k] for g, k in parts if k]
+    if not rows:
+        return np.zeros((0, 0), np.float16)
+    return np.concatenate(rows)
+
+
 def _log_round_rates(n_accept_z, n_accept, n_total, dropped):
     if dropped > 0:
         LOG.info("Dropped %d duplicate samples", dropped)
@@ -412,9 +447,20 @@ def _fused_sampling_loop(cfg, args, model, params, dataset, Q, key,
         round_ix += 1
         LOG.info("Round #%d (x%d candidates per dispatch)", round_ix,
                  round_size)
-        inflight.append(launch_round(
+        out = launch_round(
             cfg, model, params, Q, round_size,
-            jax.random.fold_in(key, round_ix), fused=True, mesh=mesh))
+            jax.random.fold_in(key, round_ix), fused=True, mesh=mesh)
+        # start the D2H copies NOW for everything except z: over a
+        # tunneled TPU the transfers are a large slice of the round
+        # (~15-25 MB/s measured), so (a) async copies run behind the
+        # previous rounds' host work instead of blocking at consume time,
+        # and (b) z — 10 of the ~12 MB a 50k round would move — stays on
+        # device until dedup decides which rows are kept, then only those
+        # are gathered and fetched (_fetch_z_rows)
+        for leaf in jax.tree.leaves(out[1:]):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+        inflight.append(out)
 
     launch_one()
     while True:
@@ -425,12 +471,13 @@ def _fused_sampling_loop(cfg, args, model, params, dataset, Q, key,
             launch_one()
         z_d, scores_d, accept_d, tokens_d, idx_d, valid_d = \
             inflight.popleft()
-        # materialize round R (blocks until its device program finishes)
-        tokens = np.asarray(tokens_d).astype(np.int32)
-        z = np.asarray(z_d)
+        # materialize round R (blocks until its device program finishes);
+        # z stays device-resident — only kept rows are fetched below
+        tokens = np.asarray(tokens_d)
         accept_full = np.asarray(accept_d)
         n_candidates = accept_full.shape[0]
         scores = {k: np.asarray(v) for k, v in scores_d.items()}
+        slots = None
         if valid_d is not None:
             # accepted-only decode: keep the valid compacted slots; every
             # surviving row is accepted by construction. Accepted
@@ -441,26 +488,35 @@ def _fused_sampling_loop(cfg, args, model, params, dataset, Q, key,
             if over_cap > 0:
                 LOG.info("Accepted candidates beyond decode capacity "
                          "dropped: %d", over_cap)
-            tokens, z = tokens[v], z[v]
+            slots = np.nonzero(v)[0]
+            tokens = tokens[v]
             scores = {k: s[v] for k, s in scores.items()}
             accept_z = np.ones(tokens.shape[0], bool)
         else:
             accept_z = accept_full
 
         # ---- host-side bookkeeping for round R ----
-        peptides = dataset.idx2sentences(tokens,
-                                         print_special_tokens=False)
-        keep = np.empty(len(peptides), bool)
-        for i, pep in enumerate(peptides):
-            if pep in seen:
+        # dedup on the RAW token rows, then build strings only for the
+        # survivors: beam output rows are canonical (residues, one EOS,
+        # PAD tail — post-EOS junk is masked on device), so row equality
+        # IS stripped-string equality, and at the high duplicate rates of
+        # collapsed models this skips >95% of the python string work
+        keep = np.empty(tokens.shape[0], bool)
+        for i, rb in enumerate(map(bytes, tokens)):
+            if rb in seen:
                 keep[i] = False
             else:
                 keep[i] = True
-                seen.add(pep)
-        H, uH, charge = modlamp_from_tokens(tokens[keep],
+                seen.add(rb)
+        kept_tokens = tokens[keep].astype(np.int32)
+        peptides = dataset.idx2sentences(kept_tokens,
+                                         print_special_tokens=False)
+        H, uH, charge = modlamp_from_tokens(kept_tokens,
                                             dataset.vocab.itos)
-        store["peptide"].extend(p for p, k in zip(peptides, keep) if k)
-        store["z"].append(z[keep])
+        slot_idx = (np.nonzero(keep)[0] if slots is None
+                    else slots[keep])
+        store["peptide"].extend(peptides)
+        store["z"].append(_gather_z_rows_async(z_d, slot_idx))
         store["accept_z"].append(accept_z[keep])
         store["H"].append(H)
         store["uH"].append(uH)
@@ -473,18 +529,18 @@ def _fused_sampling_loop(cfg, args, model, params, dataset, Q, key,
         n_accept_z_seen += int(accept_full.sum())
         if valid_d is None:
             _log_round_rates(n_accept, n_accept, n_total,
-                             len(peptides) - int(keep.sum()))
+                             keep.size - int(keep.sum()))
         else:
             # accepted-only decode: rate denominators are the candidates
             # drawn, since rejected ones are never materialized host-side
             _log_round_rates(n_accept_z_seen, n_accept, n_cand_seen,
-                             len(peptides) - int(keep.sum()))
+                             keep.size - int(keep.sum()))
         if n_total >= args.n_samples_acc and n_accept >= args.n_samples_acc:
             break
 
     df = pd.DataFrame({
         "peptide": store["peptide"],
-        "z": list(np.concatenate(store["z"])),
+        "z": list(_materialize_z(store["z"])),
         "accept_z": np.concatenate(store["accept_z"]),
         **{k: np.concatenate(v) for k, v in score_store.items()},
         "H": np.concatenate(store["H"]),
