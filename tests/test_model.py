@@ -92,6 +92,39 @@ def test_dropout_only_in_train(small_model):
     assert np.abs(np.asarray(l1) - np.asarray(l3)).max() > 1e-6
 
 
+def test_decode_step_matches_unfactored_projection(small_model):
+    """The free-running decoder step factors the GRU input projection into
+    a [V, 3H] token table + a per-sequence (z, c) vector (decoder.py
+    apply_step). It must agree with the direct gru_cell on the
+    concatenated [emb, z, c] input — hard and soft token paths."""
+    from controlled_peptide_generation_tpu.ops import nn
+    from controlled_peptide_generation_tpu.ops.gru import gru_cell
+
+    model, params = small_model
+    key = jax.random.PRNGKey(3)
+    B = 6
+    z = model.sample_z_prior(key, B)
+    c = model.sample_c_prior(jax.random.fold_in(key, 1), B)
+    h = model.init_decoder_hidden(params, z, c)
+    tok = jax.random.randint(jax.random.fold_in(key, 2), (B,), 0, 14,
+                             jnp.int32)
+    soft = jax.nn.softmax(
+        jax.random.normal(jax.random.fold_in(key, 3), (B, 14)))
+
+    def reference_step(token_hard, token_soft):
+        emb = (nn.soft_embed(params["emb"], token_soft)
+               if token_soft is not None
+               else nn.embed(params["emb"], token_hard))
+        x = jnp.concatenate([emb, z, c], axis=1)
+        return gru_cell(params["dec"]["gru"], x, h)
+
+    for hard, softp in ((tok, None), (None, soft)):
+        _, h_new = model.decode_step(params, hard, softp, z, c, h)
+        h_ref = reference_step(hard, softp)
+        np.testing.assert_allclose(np.asarray(h_new), np.asarray(h_ref),
+                                   rtol=2e-5, atol=2e-6)
+
+
 def test_sampling_hard_modes(small_model):
     model, params = small_model
     key = jax.random.PRNGKey(6)
