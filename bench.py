@@ -219,12 +219,14 @@ def bench_beam(cfg, model, params, chunk=1024, n_chunks=4, beam_size=5,
 
 
 def bench_class_dp(cfg, model, params, n_devices, n_per_round=5000,
-                   rounds_per_dispatch=10, n_dispatches=4):
+                   rounds_per_dispatch=10, n_dispatches=4,
+                   capacity_frac=None):
     """CLaSS fused-round throughput sharded over an n-device mesh
     (parallel.dp_fused_round): each device owns round_size/n candidates.
     On a 1-chip/CPU host, run under
     XLA_FLAGS=--xla_force_host_platform_device_count=N to measure the
-    scaling SHAPE; on a real pod the same path measures real scaling."""
+    scaling SHAPE; on a real pod the same path measures real scaling.
+    capacity_frac enables the accepted-only production decode mode."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -246,20 +248,28 @@ def bench_class_dp(cfg, model, params, n_devices, n_per_round=5000,
     mesh = parallel.get_mesh(n_devices)
     n = n_per_round * rounds_per_dispatch
     n += (-n) % n_devices  # round size must divide over the mesh
-    _, _, accept, tokens = parallel.dp_fused_round(
-        mesh, model, params, key, Q, n)  # compile
-    jax.block_until_ready(tokens)
+    cap = None
+    if capacity_frac is not None:
+        cap = max(int(round(n * capacity_frac)), 1)
+        cap += (-cap) % n_devices
+
+    def run_round(k):
+        out = parallel.dp_fused_round(mesh, model, params, k, Q, n,
+                                      capacity=cap)
+        # accepted-and-decoded count: valid slots in compact mode
+        return out[5] if cap is not None else out[2]
+
+    acc = run_round(key)  # compile
+    jax.block_until_ready(acc)
     outs = []
     t0 = time.perf_counter()
     for r in range(n_dispatches):
-        _, _, accept, tokens = parallel.dp_fused_round(
-            mesh, model, params, jax.random.fold_in(key, r + 1), Q, n)
-        outs.append(accept)
+        outs.append(run_round(jax.random.fold_in(key, r + 1)))
     jax.block_until_ready(outs[-1])
     dt = time.perf_counter() - t0
     accepted = sum(int(jnp.sum(a)) for a in outs)
-    log(f"CLaSS dp={n_devices}: {accepted} accepted "
-        f"({n_dispatches * n} decoded) in {dt:.2f}s")
+    log(f"CLaSS dp={n_devices}{'' if cap is None else ' (accepted-only)'}: "
+        f"{accepted} accepted ({n_dispatches * n} candidates) in {dt:.2f}s")
     return accepted / dt
 
 
@@ -408,6 +418,9 @@ def main():
     ap.add_argument("--dp", type=int, default=0, metavar="N",
                     help="CLaSS scaling sweep over mesh sizes 1,2,4..N "
                          "(virtual CPU mesh if the platform lacks devices)")
+    ap.add_argument("--dp-mode", default="all", choices=("all", "accepted"),
+                    help="decode mode for the --dp sweep (accepted = "
+                         "production accepted-only decode)")
     args = ap.parse_args()
 
     if args.write_baseline and not args.platform:
@@ -441,6 +454,8 @@ def main():
         if args.dp not in sizes and args.dp <= avail:
             sizes.append(args.dp)
         kw = dict(n_per_round=1000, n_dispatches=2) if args.fast else {}
+        if args.dp_mode == "accepted":
+            kw["capacity_frac"] = 0.5
         rates = {n: bench_class_dp(cfg, model, params, n, **kw)
                  for n in sizes}
         for n, r in rates.items():

@@ -222,3 +222,27 @@ def test_pipeline_dp_mesh_rounds(trained_run):
     import pandas as pd
     df = pd.read_pickle(outfn + ".pkl")
     assert df["accept"].sum() >= 5
+
+
+def test_pipeline_dp_mesh_accepted_only(trained_run):
+    """Mesh-sharded rounds compose with hw.decode_mode="accepted": the
+    capacity is rounded onto the mesh and every output row is accepted."""
+    cfg, _ = trained_run
+    model, params, vocab, base = _load(cfg)
+    dataset = main_mod.load_dataset(cfg)
+    build_index.extract_from_dataset(
+        model, params, vocab, cfg, dataset, base, cfg.vae.n_iter,
+        max_examples=300)
+    cfg = cfg.copy()
+    cfg.hw.dp = 4
+    cfg.hw.decode_mode = "accepted"
+    args = argparse.Namespace(
+        Q_n_components=4, Q_covariance_type="diag",
+        n_samples_per_round=64, n_samples_acc=5,
+        samples_outfn_prefix="dpaccsamples",
+        Q_select_amppos=0, Q_from_full_dataloader=False)
+    outfn = pipeline.run(cfg, args)
+    import pandas as pd
+    df = pd.read_pickle(outfn + ".pkl")
+    assert df["accept"].all() and len(df) >= 5
+    assert df["peptide"].is_unique
