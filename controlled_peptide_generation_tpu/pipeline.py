@@ -456,7 +456,7 @@ def _fused_sampling_loop(cfg, args, model, params, dataset, Q, key,
         # previous rounds' host work instead of blocking at consume time,
         # and (b) z — 10 of the ~12 MB a 50k round would move — stays on
         # device until dedup decides which rows are kept, then only those
-        # are gathered and fetched (_fetch_z_rows)
+        # are gathered and fetched (_gather_z_rows_async)
         for leaf in jax.tree.leaves(out[1:]):
             if hasattr(leaf, "copy_to_host_async"):
                 leaf.copy_to_host_async()
