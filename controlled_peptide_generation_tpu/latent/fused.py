@@ -66,6 +66,9 @@ def _round_body(model, params, key, kind, q_params, clf_w, clf_b, targets,
     z_dec = model.apply_flow(params, z)[0] if model.flow > 0 else z
     idx = valid = None
     if capacity is not None:
+        # clamp: more slots than candidates would misalign idx/valid with
+        # the n-row gathers below (argsort yields at most n entries)
+        capacity = min(int(capacity), n)
         # accepted-first compaction: stable sort keeps candidate order, so
         # slot j holds the j-th accepted candidate of the round
         idx = jnp.argsort(jnp.logical_not(accept), stable=True)[:capacity]

@@ -187,7 +187,10 @@ def round_capacity(cfg, n_samples, mesh=None):
     capacity = max(int(round(n_samples * frac)), 1)
     if mesh is not None:
         capacity += (-capacity) % mesh.devices.size
-    return capacity
+    # more slots than candidates would misalign the compacted outputs
+    # (argsort(...)[:capacity] can't exceed n rows); n is always
+    # mesh-divisible so the clamp preserves that too
+    return min(capacity, n_samples)
 
 
 def launch_round(cfg, model, params, Q, n_samples, key, fused=True,
@@ -227,11 +230,13 @@ def launch_round(cfg, model, params, Q, n_samples, key, fused=True,
         z, scores, accept, tokens = out
     else:
         z, scores, accept, tokens, idx, valid = out
-    # downcast on device before the host fetch: z and the score columns are
-    # only kept as float16 artifact columns, and token ids fit a byte —
-    # over a tunneled TPU the D2H transfer is a visible slice of the round
+    # downcast on device before the host fetch: z rows are only kept as a
+    # float16 artifact column, and token ids fit a byte — over a tunneled
+    # TPU the D2H transfer is a visible slice of the round. Score columns
+    # stay fp32: prob_accum of rejected candidates is routinely below
+    # float16's minimum normal (that's WHY they were rejected), and the
+    # saved artifact must support log(prob_accum) downstream.
     z = z.astype(jnp.float16)
-    scores = {k: v.astype(jnp.float16) for k, v in scores.items()}
     if model.n_vocab < 256:
         tokens = tokens.astype(jnp.uint8)
     return z, scores, accept, tokens, idx, valid
@@ -456,8 +461,11 @@ def _fused_sampling_loop(cfg, args, model, params, dataset, Q, key,
         # previous rounds' host work instead of blocking at consume time,
         # and (b) z — 10 of the ~12 MB a 50k round would move — stays on
         # device until dedup decides which rows are kept, then only those
-        # are gathered and fetched (_gather_z_rows_async)
-        for leaf in jax.tree.leaves(out[1:]):
+        # are gathered and fetched (_gather_z_rows_async). idx (out[4])
+        # is skipped too: no host-side consumer reads it.
+        z_dev, scores_d, accept_d, tokens_d, _idx, valid_d = out
+        for leaf in jax.tree.leaves(
+                (scores_d, accept_d, tokens_d, valid_d)):
             if hasattr(leaf, "copy_to_host_async"):
                 leaf.copy_to_host_async()
         inflight.append(out)
@@ -481,8 +489,11 @@ def _fused_sampling_loop(cfg, args, model, params, dataset, Q, key,
         if valid_d is not None:
             # accepted-only decode: keep the valid compacted slots; every
             # surviving row is accepted by construction. Accepted
-            # candidates beyond the decode capacity were dropped on device
-            # (unbiased — i.i.d. draws) and count as neither seen nor kept.
+            # candidates beyond the decode capacity are dropped on device
+            # (unbiased — i.i.d. draws): they still count toward the
+            # rejection-test acceptance rate (n_accept_z_seen — they WERE
+            # accepted by the test) but are never decoded, stored or
+            # counted as delivered samples.
             v = np.asarray(valid_d)
             over_cap = int(accept_full.sum()) - int(v.sum())
             if over_cap > 0:
@@ -496,13 +507,19 @@ def _fused_sampling_loop(cfg, args, model, params, dataset, Q, key,
             accept_z = accept_full
 
         # ---- host-side bookkeeping for round R ----
-        # dedup on the RAW token rows, then build strings only for the
-        # survivors: beam output rows are canonical (residues, one EOS,
-        # PAD tail — post-EOS junk is masked on device), so row equality
-        # IS stripped-string equality, and at the high duplicate rates of
-        # collapsed models this skips >95% of the python string work
+        # dedup on CANONICALIZED token rows, then build strings only for
+        # the survivors: each row is projected to its residue tokens
+        # (> EOS_IDX) left-packed over a zero tail — exactly the content
+        # idx2sentences renders, so key equality IS stripped-string
+        # equality even when beam emits UNK/PAD mid-sequence. At the high
+        # duplicate rates of collapsed models this skips >95% of the
+        # python string work vs deduping on rendered strings.
+        residue = tokens > 3  # specials pinned at 0..3 (vocab contract)
+        order = np.argsort(~residue, axis=1, kind="stable")
+        keys = np.take_along_axis(
+            np.where(residue, tokens, 0), order, axis=1)
         keep = np.empty(tokens.shape[0], bool)
-        for i, rb in enumerate(map(bytes, tokens)):
+        for i, rb in enumerate(map(bytes, keys)):
             if rb in seen:
                 keep[i] = False
             else:
