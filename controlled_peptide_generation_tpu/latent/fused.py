@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import nn
-from ..ops.beam import beam_search
+from ..ops.beam import beam_search, beam_search_logits
 from . import gmm as gmm_mod
 
 
@@ -84,8 +84,16 @@ def _round_body(model, params, key, kind, q_params, clf_w, clf_b, targets,
         z_d, c_d = z_dec.astype(dt), c.astype(dt)
     else:
         dec_params, z_d, c_d = params, z_dec, c
-    hyps, scores = beam_search(model, dec_params, z_d, c_d,
-                               beam_size=beam_size, n_best=1)
+    if model.G_class == "deconv":
+        # non-autoregressive family: all logits precomputed from (z, c),
+        # beam replays them (same contract as generation.py:46-53) —
+        # still one fused program per round
+        logits = model.decode_logits(dec_params, z_d, c_d)
+        hyps, scores = beam_search_logits(logits, beam_size=beam_size,
+                                          n_best=1)
+    else:
+        hyps, scores = beam_search(model, dec_params, z_d, c_d,
+                                   beam_size=beam_size, n_best=1)
     if capacity is None:
         return z, c, probs, accum, accept, hyps[:, 0, :]
     return z, c, probs, accum, accept, hyps[:, 0, :], idx, valid
