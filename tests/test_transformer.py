@@ -224,3 +224,36 @@ def test_transformer_cli_end_to_end(tmp_path):
     assert model.G_class == "transformer"
     se_mod.test_sampling(model, params, vocab, n_samples=2)
     se_mod.test_reconstruction(model, params, vocab, "M K T A, K L L K")
+
+
+def test_transformer_fused_round_matches_composed():
+    """The fused CLaSS round drives the transformer family through the
+    same KV-cache beam engine: token-exact vs the composed draw+decode
+    stages for the same key."""
+    from controlled_peptide_generation_tpu.latent import (density, gmm,
+                                                          logreg)
+    from controlled_peptide_generation_tpu.latent.fused import fused_round
+
+    _, model, params = tfm_model()
+    key = jax.random.PRNGKey(11)
+    mu = 0.3 * jax.random.normal(key, (80, model.z_dim))
+    lv = jnp.full((80, model.z_dim), -1.5)
+    Q = density.mogQ(np.asarray(mu), np.asarray(lv), n_components=4,
+                     z_num_samples=2, covariance_type="diag", key=key)
+    w = jnp.zeros(model.z_dim).at[0].set(1.0)
+    Q.init_attr_classifiers(
+        {"amp": logreg.LogRegParams(w=w, b=jnp.asarray(0.1)),
+         "tox": logreg.LogRegParams(w=-w, b=jnp.asarray(-0.2))},
+        {"amp": 1, "tox": 0})
+
+    n = 16
+    z, scores, accept, tokens = fused_round(model, params, key, Q, n,
+                                            decode_dtype="float32",
+                                            beam_size=3)
+    kz, ku, kc = jax.random.split(key, 3)
+    z_ref = gmm.sample(kz, Q.params, n, "diag")
+    c_ref = model.sample_c_prior(kc, n)
+    hyps, _ = beam_mod.beam_search(model, params, z_ref, c_ref,
+                                   beam_size=3, n_best=1)
+    np.testing.assert_array_equal(np.asarray(tokens),
+                                  np.asarray(hyps[:, 0, :]))
