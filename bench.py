@@ -191,6 +191,29 @@ def bench_reject_1m(cfg, model, params, n_latents=1_000_000):
     return n_rep * n_latents / dt
 
 
+def bench_transformer(cfg, n_steps=60, batch_size=32, chunk=1024,
+                      n_chunks=2):
+    """Stretch family: transformer enc-dec phase-1 train steps/sec and
+    KV-cache beam decode seqs/sec at reference dims (d_model 128)."""
+    import jax
+    import jax.numpy as jnp
+    from controlled_peptide_generation_tpu import config as C
+    from controlled_peptide_generation_tpu.models import build_model
+
+    tcfg = C.default_config()
+    tcfg.vae.update(tcfg.shared)
+    tcfg.model.E_args.E_class = "transformer"
+    tcfg.model.G_args.G_class = "transformer"
+    model = build_model(tcfg.model, n_vocab=26,
+                        max_seq_len=tcfg.max_seq_len)
+    params = model.init_params(jax.random.PRNGKey(0))
+    train_rate = bench_train(tcfg, model, params, n_steps=n_steps,
+                             batch_size=batch_size)
+    beam_rate = bench_beam(tcfg, model, params, chunk=chunk,
+                           n_chunks=n_chunks)
+    return train_rate, beam_rate
+
+
 def bench_beam(cfg, model, params, chunk=1024, n_chunks=4, beam_size=5,
                dtype="float32"):
     import jax
@@ -512,6 +535,11 @@ def main():
                else dict(n_per_round=4096)))
         details["full_train_steps_per_sec"] = bench_full_train(
             cfg, model, params, n_steps=20 if args.fast else 60)
+        tr, bm = bench_transformer(
+            cfg, n_steps=20 if args.fast else 60,
+            chunk=256 if args.fast else 1024)
+        details["transformer_train_steps_per_sec"] = tr
+        details["transformer_beam_seqs_per_sec"] = bm
         details["reject_1m_latents_per_sec"] = bench_reject_1m(
             cfg, model, params,
             n_latents=100_000 if args.fast else 1_000_000)
