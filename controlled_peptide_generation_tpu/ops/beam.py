@@ -41,14 +41,17 @@ class BeamState(NamedTuple):
     adv: jnp.ndarray       # [B] number of advances performed
     eos_top: jnp.ndarray   # [B] EOS has topped the beam
     fin_cnt: jnp.ndarray   # [B] finished-hypothesis count
-    fin_score: jnp.ndarray  # [B, F]
-    fin_t: jnp.ndarray     # [B, F] timestep of finish
-    fin_k: jnp.ndarray     # [B, F] beam index at finish
 
 
-def _advance_one(logp, scores, prev, adv, fin_cnt, fin_score, fin_t, fin_k,
-                 eos_top, *, K, V, F, min_length):
-    """Single-sentence beam advance; vmapped over the batch."""
+def _advance_one(logp, scores, prev, adv, *, K, V, min_length):
+    """Single-sentence beam advance; vmapped over the batch.
+
+    Finished-hypothesis bookkeeping happens OUTSIDE the scan: this only
+    returns the per-step finish mask (next_y == EOS). Scattering each
+    finish into a [F]-sized heap inside the loop cost ~70% of the whole
+    beam program on TPU (measured, BENCH.md); the heap is reconstructed
+    from the stacked per-step emissions in one vectorized pass instead.
+    """
     cur_len = adv + 1
     wp = logp.at[:, START_IDX].set(NEG)
     wp = jnp.where(cur_len < min_length, wp.at[:, EOS_IDX].set(NEG), wp)
@@ -64,17 +67,10 @@ def _advance_one(logp, scores, prev, adv, fin_cnt, fin_score, fin_t, fin_k,
     prev_k = (ids // V).astype(jnp.int32)
     next_y = (ids % V).astype(jnp.int32)
 
-    # record newly finished hypotheses in insertion (beam) order
-    mask = next_y == EOS_IDX
-    pos = jnp.where(mask, fin_cnt + jnp.cumsum(mask) - 1, F)
-    fin_score = fin_score.at[pos].set(best, mode="drop")
-    fin_t = fin_t.at[pos].set(adv + 1, mode="drop")
-    fin_k = fin_k.at[pos].set(k_ix, mode="drop")
-    fin_cnt = fin_cnt + mask.sum()
-    eos_top = eos_top | (next_y[0] == EOS_IDX)
+    mask = next_y == EOS_IDX        # newly finished, beam (insertion) order
+    eos_top = next_y[0] == EOS_IDX
 
-    return best, next_y, prev_k, adv + 1, fin_cnt, fin_score, fin_t, fin_k, \
-        eos_top
+    return best, next_y, prev_k, adv + 1, mask, eos_top
 
 
 def _backtrace(t, k, ys, ptrs, T):
@@ -94,23 +90,27 @@ def _backtrace(t, k, ys, ptrs, T):
     return hyp.at[0].set(ys[0, k_fin])
 
 
-def _finalize_one(ys, ptrs, scores, adv, fin_cnt, fin_score, fin_t, fin_k,
-                  *, K, F, n_best, T):
-    """sort_finished(minimum=n_best) + n_best backtraces for one sentence."""
-    # pad with current beams i = 0.. until n_best entries exist
+def _finalize_one(ys, ptrs, scores, adv, fin_cnt, fin_mask, fin_score,
+                  *, K, n_best, T):
+    """sort_finished(minimum=n_best) + n_best backtraces for one sentence.
+
+    fin_mask/fin_score are the [T*K] per-step finish emissions flattened
+    step-major — EXACTLY the old heap's insertion order (per step, beams
+    in order), so the stable score sort reproduces the reference's
+    tie-breaking. The pad-with-current-beams entries (used when fewer
+    than n_best hypotheses finished) are appended after all finish slots,
+    where the old code also placed them."""
     i = jnp.arange(n_best)
     n_add = jnp.maximum(n_best - fin_cnt, 0)
-    pos = jnp.where(i < n_add, fin_cnt + i, F)
-    fin_score = fin_score.at[pos].set(scores[jnp.minimum(i, K - 1)],
-                                      mode="drop")
-    fin_t = fin_t.at[pos].set(adv, mode="drop")
-    fin_k = fin_k.at[pos].set(i, mode="drop")
-    fin_cnt = fin_cnt + n_add
-
-    valid = jnp.arange(F) < fin_cnt
-    keyed = jnp.where(valid, fin_score, -jnp.inf)
+    flat = jnp.arange(T * K)
+    keyed = jnp.concatenate([
+        jnp.where(fin_mask, fin_score, -jnp.inf),
+        jnp.where(i < n_add, scores[jnp.minimum(i, K - 1)], -jnp.inf),
+    ])
+    t_all = jnp.concatenate([flat // K + 1, jnp.full((n_best,), adv)])
+    k_all = jnp.concatenate([flat % K, i])
     order = jnp.argsort(-keyed, stable=True)[:n_best]
-    ts, ks, sc = fin_t[order], fin_k[order], keyed[order]
+    ts, ks, sc = t_all[order], k_all[order], keyed[order]
     hyps = jax.vmap(lambda t, k: _backtrace(t, k, ys, ptrs, T))(ts, ks)
     return hyps, sc
 
@@ -134,7 +134,6 @@ def beam_search(model, params, z, c, beam_size=5, n_best=3, min_length=1,
     # silently clamp scatter/gather indices and corrupt the tail
     assert T <= model.max_seq_len, (
         f"max_len {T} exceeds model.max_seq_len {model.max_seq_len}")
-    F = K * T + n_best
 
     z_flat = jnp.repeat(z, K, axis=0)          # [B*K] batch-major lanes
     c_flat = jnp.repeat(c, K, axis=0)
@@ -151,12 +150,9 @@ def beam_search(model, params, z, c, beam_size=5, n_best=3, min_length=1,
         adv=jnp.zeros((B,), jnp.int32),
         eos_top=jnp.zeros((B,), bool),
         fin_cnt=jnp.zeros((B,), jnp.int32),
-        fin_score=jnp.zeros((B, F)),
-        fin_t=jnp.zeros((B, F), jnp.int32),
-        fin_k=jnp.zeros((B, F), jnp.int32),
     )
 
-    advance = jax.vmap(partial(_advance_one, K=K, V=V, F=F,
+    advance = jax.vmap(partial(_advance_one, K=K, V=V,
                                min_length=min_length))
 
     def step(state, _):
@@ -170,10 +166,8 @@ def beam_search(model, params, z, c, beam_size=5, n_best=3, min_length=1,
                                   axis=-1).reshape(B, K, V)
         done = state.eos_top & (state.fin_cnt >= n_best)
 
-        (best, next_y, prev_k, adv, fin_cnt, fin_score, fin_t, fin_k,
-         eos_top) = advance(logp, state.scores, state.prev, state.adv,
-                            state.fin_cnt, state.fin_score, state.fin_t,
-                            state.fin_k, state.eos_top)
+        best, next_y, prev_k, adv, mask, eos_top_new = advance(
+            logp, state.scores, state.prev, state.adv)
 
         # reorder hidden along the beam axis by backpointer origin,
         # per leaf (index broadcast up to the leaf's rank)
@@ -189,30 +183,32 @@ def beam_search(model, params, z, c, beam_size=5, n_best=3, min_length=1,
             lambda old, new: jnp.where(
                 done.reshape(B, *([1] * (new.ndim - 1))), old, new),
             state.h, h_adv)
+        mask = mask & ~d1                      # done sentences record nothing
         new_state = BeamState(
             scores=jnp.where(d1, state.scores, best),
             prev=jnp.where(d1, state.prev, next_y),
             h=h_next,
             adv=jnp.where(done, state.adv, adv),
-            eos_top=jnp.where(done, state.eos_top, eos_top),
-            fin_cnt=jnp.where(done, state.fin_cnt, fin_cnt),
-            fin_score=jnp.where(d1, state.fin_score, fin_score),
-            fin_t=jnp.where(d1, state.fin_t, fin_t),
-            fin_k=jnp.where(d1, state.fin_k, fin_k),
+            eos_top=state.eos_top | (eos_top_new & ~done),
+            fin_cnt=state.fin_cnt + mask.sum(axis=1),
         )
         ys_emit = jnp.where(d1, jnp.full_like(next_y, PAD_IDX), next_y)
         ptr_emit = jnp.where(d1, jnp.zeros_like(prev_k), prev_k)
-        return new_state, (ys_emit, ptr_emit)
+        return new_state, (ys_emit, ptr_emit, best, mask)
 
-    state, (ys_steps, ptr_steps) = jax.lax.scan(step, state, None, length=T)
+    state, (ys_steps, ptr_steps, sc_steps, mask_steps) = jax.lax.scan(
+        step, state, None, length=T)
 
     ys = jnp.concatenate([prev0[None], ys_steps], axis=0)   # [T+1, B, K]
     ys = jnp.swapaxes(ys, 0, 1)                              # [B, T+1, K]
     ptrs = jnp.swapaxes(ptr_steps, 0, 1)                     # [B, T, K]
+    # finish emissions flattened step-major = heap insertion order
+    fin_mask = jnp.swapaxes(mask_steps, 0, 1).reshape(B, T * K)
+    fin_score = jnp.swapaxes(sc_steps, 0, 1).reshape(B, T * K)
 
-    finalize = jax.vmap(partial(_finalize_one, K=K, F=F, n_best=n_best, T=T))
-    hyps, scores = finalize(ys, ptrs, state.scores, state.adv, state.fin_cnt,
-                            state.fin_score, state.fin_t, state.fin_k)
+    finalize = jax.vmap(partial(_finalize_one, K=K, n_best=n_best, T=T))
+    hyps, scores = finalize(ys, ptrs, state.scores, state.adv,
+                            state.fin_cnt, fin_mask, fin_score)
     return hyps, scores
 
 
@@ -225,7 +221,6 @@ def beam_search_logits(all_logits, beam_size=5, n_best=3, min_length=1):
     assert beam_size >= n_best
     B, T, V = all_logits.shape
     K = beam_size
-    F = K * T + n_best
 
     prev0 = jnp.full((B, K), PAD_IDX, jnp.int32).at[:, 0].set(START_IDX)
     state = BeamState(
@@ -235,11 +230,8 @@ def beam_search_logits(all_logits, beam_size=5, n_best=3, min_length=1):
         adv=jnp.zeros((B,), jnp.int32),
         eos_top=jnp.zeros((B,), bool),
         fin_cnt=jnp.zeros((B,), jnp.int32),
-        fin_score=jnp.zeros((B, F)),
-        fin_t=jnp.zeros((B, F), jnp.int32),
-        fin_k=jnp.zeros((B, F), jnp.int32),
     )
-    advance = jax.vmap(partial(_advance_one, K=K, V=V, F=F,
+    advance = jax.vmap(partial(_advance_one, K=K, V=V,
                                min_length=min_length))
     logits_tm = jnp.swapaxes(all_logits, 0, 1)          # [T, B, V]
 
@@ -248,31 +240,29 @@ def beam_search_logits(all_logits, beam_size=5, n_best=3, min_length=1):
                                    axis=-1)             # [B, V]
         logp = jnp.broadcast_to(logp1[:, None, :], (B, K, V))
         done = state.eos_top & (state.fin_cnt >= n_best)
-        (best, next_y, prev_k, adv, fin_cnt, fin_score, fin_t, fin_k,
-         eos_top) = advance(logp, state.scores, state.prev, state.adv,
-                            state.fin_cnt, state.fin_score, state.fin_t,
-                            state.fin_k, state.eos_top)
+        best, next_y, prev_k, adv, mask, eos_top_new = advance(
+            logp, state.scores, state.prev, state.adv)
         d1 = done[:, None]
+        mask = mask & ~d1
         new_state = BeamState(
             scores=jnp.where(d1, state.scores, best),
             prev=jnp.where(d1, state.prev, next_y),
             h=state.h,
             adv=jnp.where(done, state.adv, adv),
-            eos_top=jnp.where(done, state.eos_top, eos_top),
-            fin_cnt=jnp.where(done, state.fin_cnt, fin_cnt),
-            fin_score=jnp.where(d1, state.fin_score, fin_score),
-            fin_t=jnp.where(d1, state.fin_t, fin_t),
-            fin_k=jnp.where(d1, state.fin_k, fin_k),
+            eos_top=state.eos_top | (eos_top_new & ~done),
+            fin_cnt=state.fin_cnt + mask.sum(axis=1),
         )
         ys_emit = jnp.where(d1, jnp.full_like(next_y, PAD_IDX), next_y)
         ptr_emit = jnp.where(d1, jnp.zeros_like(prev_k), prev_k)
-        return new_state, (ys_emit, ptr_emit)
+        return new_state, (ys_emit, ptr_emit, best, mask)
 
-    state, (ys_steps, ptr_steps) = jax.lax.scan(step, state, logits_tm)
+    state, (ys_steps, ptr_steps, sc_steps, mask_steps) = jax.lax.scan(
+        step, state, logits_tm)
     ys = jnp.swapaxes(jnp.concatenate([prev0[None], ys_steps], axis=0),
                       0, 1)
     ptrs = jnp.swapaxes(ptr_steps, 0, 1)
-    finalize = jax.vmap(partial(_finalize_one, K=K, F=F, n_best=n_best,
-                                T=T))
+    fin_mask = jnp.swapaxes(mask_steps, 0, 1).reshape(B, T * K)
+    fin_score = jnp.swapaxes(sc_steps, 0, 1).reshape(B, T * K)
+    finalize = jax.vmap(partial(_finalize_one, K=K, n_best=n_best, T=T))
     return finalize(ys, ptrs, state.scores, state.adv, state.fin_cnt,
-                    state.fin_score, state.fin_t, state.fin_k)
+                    fin_mask, fin_score)
