@@ -43,6 +43,17 @@ def _ln(p, x, eps=1e-6):
 
 
 def _init_block(key, d_model, d_ff):
+    """One pre-LN block's params.
+
+    qkv is a single fused [D, 3D] projection whose OUTPUT columns are laid
+    out head-major: [h0(q,k,v), h1(q,k,v), ...] — i.e. logical shape
+    [D, H, 3, Dh]. A tensor-parallel shard of the column axis (parallel/
+    tp.py, PartitionSpec (None, 'model')) then lands on whole-head
+    boundaries, so each device computes its own heads' q, k AND v with no
+    resharding between the fused matmul and the attention — the Megatron
+    sharding expressed purely through the weight layout. Init is i.i.d.
+    uniform, so the layout choice does not change the init distribution.
+    """
     ka, ko, k1, k2 = jax.random.split(key, 4)
     return {
         "ln1": _init_ln(d_model),
@@ -52,6 +63,15 @@ def _init_block(key, d_model, d_ff):
         "ff1": nn.init_linear(k1, d_model, d_ff),
         "ff2": nn.init_linear(k2, d_ff, d_model),
     }
+
+
+def _unpack_qkv(qkv, n_heads):
+    """[..., 3D] head-major fused projection -> q, k, v each
+    [..., H, Dh]."""
+    *lead, d3 = qkv.shape
+    dh = d3 // (3 * n_heads)
+    qkv = qkv.reshape(*lead, n_heads, 3, dh)
+    return qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
 
 
 def _split_heads(x, n_heads):
@@ -89,8 +109,7 @@ def _block_full(p, x, mask, n_heads, key=None, p_dropout=0.0, train=False):
     """Pre-LN block over a full sequence. x: [B, S, D]."""
     h = _ln(p["ln1"], x)
     qkv = nn.linear(p["qkv"], h)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    q, k, v = (_split_heads(t, n_heads) for t in (q, k, v))
+    q, k, v = _unpack_qkv(qkv, n_heads)
     a = _attention(q, k, v, mask)
     a = a.reshape(x.shape)
     x = x + nn.linear(p["attn_out"], a)
@@ -109,13 +128,15 @@ def _block_step(p, x, cache_k, cache_v, pos, n_heads):
     B, S, D = cache_k.shape
     h = _ln(p["ln1"], x)
     qkv = nn.linear(p["qkv"], h)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = _unpack_qkv(qkv, n_heads)            # [B, H, Dh] each
     bix = jnp.arange(B)
-    cache_k = cache_k.at[bix, pos].set(k)
-    cache_v = cache_v.at[bix, pos].set(v)
+    # cache rows are the head-major flattening of [H, Dh] — the same
+    # layout _split_heads reverses below
+    cache_k = cache_k.at[bix, pos].set(k.reshape(B, D))
+    cache_v = cache_v.at[bix, pos].set(v.reshape(B, D))
     # attend to positions 0..pos (inclusive of the token just written)
     mask = (jnp.arange(S)[None, :] <= pos[:, None])[:, None, None, :]
-    q4 = q.reshape(B, 1, n_heads, D // n_heads)
+    q4 = q[:, None]                                # [B, 1, H, Dh]
     k4 = _split_heads(cache_k, n_heads)
     v4 = _split_heads(cache_v, n_heads)
     a = _attention(q4, k4, v4, mask).reshape(B, D)

@@ -8,9 +8,11 @@ Multi-host extends the same code via jax.distributed.initialize — no custom
 communication backend exists or is needed.
 
 Model size (~0.5M params) makes tensor/pipeline parallelism counter-
-productive; DP for training and embarrassingly-parallel sharding for CLaSS
-rejection rounds are the two meaningful axes (documented non-goals per
-SURVEY.md §2.28).
+productive for the GRU family; DP for training and embarrassingly-parallel
+sharding for CLaSS rejection rounds are its two meaningful axes. The
+transformer stretch family additionally supports Megatron-style tensor
+parallelism over a (data, model) mesh — see parallel/tp.py. Pipeline
+parallelism remains a documented non-goal (2-layer blocks).
 """
 
 from functools import partial

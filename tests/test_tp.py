@@ -1,0 +1,107 @@
+"""Tensor-parallel transformer training on the 8-device virtual CPU mesh.
+
+The TP step must be a pure re-sharding of the single-device computation:
+same loss, same updated params (up to float reduction order), with block
+weights genuinely partitioned over the 'model' axis.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from controlled_peptide_generation_tpu import config as C
+from controlled_peptide_generation_tpu import parallel
+from controlled_peptide_generation_tpu.models import build_model
+from controlled_peptide_generation_tpu.ops import losses as L
+from controlled_peptide_generation_tpu.train import make_train_step
+
+V, T = 14, 10
+
+
+def tfm_setup(E_class="transformer", G_class="transformer", n_heads=4):
+    cfg = C.default_config()
+    cfg.vae.update(cfg.shared)
+    cfg.model.z_dim = 12
+    cfg.model.emb_dim = 16
+    cfg.model.E_args.E_class = E_class
+    cfg.model.E_args.T_args.update(d_model=32, n_layers=2, d_ff=64,
+                                   n_heads=n_heads)
+    cfg.model.G_args.G_class = G_class
+    cfg.model.G_args.T_args.update(d_model=32, n_layers=2, d_ff=64,
+                                   n_heads=n_heads)
+    model = build_model(cfg.model, n_vocab=V, max_seq_len=T)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rf = L.init_rf_basis(jax.random.PRNGKey(1), model.z_dim,
+                         cfg.losses.wae_mmd.rf_dim)
+    return cfg, model, params, rf
+
+
+def rand_text(key, B):
+    toks = jax.random.randint(key, (B, T), 4, V)
+    return toks.at[:, 0].set(2).at[:, 7].set(3).astype(jnp.int32)
+
+
+def test_tp_step_matches_single_device():
+    cfg, model, params, rf = tfm_setup()
+    mesh = parallel.get_mesh_2d(2, 4)
+    text = rand_text(jax.random.PRNGKey(2), 16)
+    key = jax.random.PRNGKey(3)
+    it = jnp.asarray(0, jnp.int32)
+
+    single_step, opt = make_train_step(model, cfg.vae, cfg.losses, rf,
+                                       donate=False)
+    p1, o1, m1 = single_step(params, opt.init(params), key, text, it)
+
+    tp_step, _, init_state = parallel.make_tp_train_step(
+        model, cfg.vae, cfg.losses, rf, mesh, donate=False)
+    p_s, o_s = init_state(params)
+    t_s = parallel.shard_batch(mesh, text)
+    p2, o2, m2 = tp_step(p_s, o_s, key, t_s, it)
+
+    assert abs(float(m1["L_vae"]) - float(m2["L_vae"])) < 1e-4
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        assert jnp.allclose(a, jax.device_get(b), atol=5e-5), (
+            "TP step diverged from the single-device step")
+
+    # a second (donated-shardings-preserving) step still runs and moves
+    p3, o3, m3 = tp_step(p2, o2, jax.random.fold_in(key, 1), t_s,
+                         jnp.asarray(1, jnp.int32))
+    assert float(m3["L_vae"]) > 0
+
+
+def test_block_weights_are_model_sharded():
+    cfg, model, params, rf = tfm_setup()
+    mesh = parallel.get_mesh_2d(2, 4)
+    _, _, init_state = parallel.make_tp_train_step(
+        model, cfg.vae, cfg.losses, rf, mesh, donate=False)
+    p_s, o_s = init_state(params)
+
+    qkv = p_s["dec"]["blocks"][0]["qkv"]["w"]
+    assert qkv.sharding.spec == P(None, "model")
+    # each device holds a 3D/4 column slice — whole heads, no overlap
+    shard_shapes = {s.data.shape for s in qkv.addressable_shards}
+    assert shard_shapes == {(32, 3 * 32 // 4)}
+    ff2 = p_s["dec"]["blocks"][1]["ff2"]["w"]
+    assert ff2.sharding.spec == P("model", None)
+    # adam moments follow the param shardings (GSPMD propagation)
+    mu_qkv = o_s[1][0].mu["dec"]["blocks"][0]["qkv"]["w"]
+    assert mu_qkv.sharding.spec == P(None, "model")
+    # non-transformer leaves stay replicated
+    assert p_s["emb"]["w"].sharding.spec in (P(), P(None), P(None, None))
+
+
+def test_mixed_family_shards_decoder_only():
+    cfg, model, params, rf = tfm_setup(E_class="gru")
+    specs = parallel.transformer_param_specs(params, n_heads=4, tp=4)
+    flat_enc = jax.tree_util.tree_leaves(specs["enc"])
+    assert all(s == P() for s in flat_enc)
+    assert specs["dec"]["blocks"][0]["qkv"]["w"] == P(None, "model")
+
+
+def test_tp_divisibility_validated():
+    cfg, model, params, rf = tfm_setup(n_heads=2)
+    mesh = parallel.get_mesh_2d(2, 4)
+    with pytest.raises(AssertionError):
+        parallel.make_tp_train_step(model, cfg.vae, cfg.losses, rf, mesh)
