@@ -313,6 +313,61 @@ def bench_class_dp(cfg, model, params, n_devices, n_per_round=5000,
     return accepted / dt
 
 
+def bench_tp(cfg, n_total, n_steps=30, batch_size=32):
+    """Transformer-family train-step sweep over (data, model) mesh shapes
+    with dp*tp = n_total (parallel/tp.py). On a virtual CPU mesh the point
+    is that every sharding compiles, executes, and produces the same loss
+    (one physical CPU underneath — rates stay flat); on a real pod the
+    identical code measures real TP/DP scaling with zero new code."""
+    import jax
+    import jax.numpy as jnp
+    from controlled_peptide_generation_tpu import parallel
+    from controlled_peptide_generation_tpu.models import build_model
+    from controlled_peptide_generation_tpu.ops import losses as L
+
+    cfg.model.E_args.E_class = "transformer"
+    cfg.model.G_args.G_class = "transformer"
+    model = build_model(cfg.model, n_vocab=26, max_seq_len=cfg.max_seq_len)
+    params = model.init_params(jax.random.PRNGKey(0))
+    rf = L.init_rf_basis(jax.random.PRNGKey(1), model.z_dim,
+                         cfg.losses.wae_mmd.rf_dim)
+    n_heads = model.dec_tfm_args.get("n_heads", 4)
+
+    text = jax.random.randint(jax.random.PRNGKey(2),
+                              (batch_size, model.max_seq_len), 4, 26,
+                              jnp.int32)
+    text = text.at[:, 0].set(2).at[:, 12].set(3)
+
+    rates, losses = {}, {}
+    for tp in (1, 2, 4, 8):
+        dp = n_total // tp
+        if n_total % tp or n_heads % tp or batch_size % dp:
+            continue
+        mesh = parallel.get_mesh_2d(dp, tp)
+        step, _, init_state = parallel.make_tp_train_step(
+            model, cfg.vae, cfg.losses, rf, mesh, donate=False)
+        p, o = init_state(params)
+        t_s = parallel.shard_batch(mesh, text)
+        key = jax.random.PRNGKey(3)
+        p, o, m = step(p, o, key, t_s, jnp.asarray(0, jnp.int32))
+        jax.block_until_ready(p)
+        t0 = time.perf_counter()
+        for i in range(1, n_steps + 1):
+            p, o, m = step(p, o, jax.random.fold_in(key, i), t_s,
+                           jnp.asarray(i, jnp.int32))
+        jax.block_until_ready(p)
+        dt = time.perf_counter() - t0
+        tag = f"dp{dp}xtp{tp}"
+        rates[tag] = n_steps / dt
+        losses[tag] = float(m["L_vae"])
+        log(f"tp sweep {tag}: {rates[tag]:.1f} steps/s "
+            f"(loss {losses[tag]:.4f})")
+    # every mesh shape computes the same math: final losses must agree
+    vals = list(losses.values())
+    assert all(abs(v - vals[0]) < 1e-3 for v in vals), losses
+    return rates
+
+
 def bench_class(cfg, model, params, n_per_round=5000, min_accepted=100,
                 n_components=100, decode_dtype=None, capacity_frac=None):
     """Full CLaSS loop at reference workload: mogQ fit excluded (setup),
@@ -461,16 +516,21 @@ def main():
     ap.add_argument("--dp-mode", default="all", choices=("all", "accepted"),
                     help="decode mode for the --dp sweep (accepted = "
                          "production accepted-only decode)")
+    ap.add_argument("--tp", type=int, default=0, metavar="N",
+                    help="transformer tensor-parallel sweep over (dp, tp) "
+                         "mesh shapes with dp*tp = N (virtual CPU mesh if "
+                         "the platform lacks devices)")
     args = ap.parse_args()
 
     if args.write_baseline and not args.platform:
         args.platform = "cpu"
-    if args.dp and args.platform == "cpu":
+    if (args.dp or args.tp) and args.platform == "cpu":
         # must precede the first jax import: the CPU client reads XLA_FLAGS
         # once at initialization
         flags = [f for f in os.environ.get("XLA_FLAGS", "").split() if f and
                  not f.startswith("--xla_force_host_platform_device_count")]
-        flags.append(f"--xla_force_host_platform_device_count={args.dp}")
+        flags.append("--xla_force_host_platform_device_count="
+                     f"{args.dp or args.tp}")
         os.environ["XLA_FLAGS"] = " ".join(flags)
 
     if args.platform:
@@ -506,6 +566,17 @@ def main():
             "value": {str(n): round(r, 1) for n, r in rates.items()},
             "unit": "accepted samples/sec",
             "vs_baseline": round(rates[sizes[-1]] / rates[sizes[0]], 2),
+        }))
+        return
+
+    if args.tp:
+        rates = bench_tp(cfg, args.tp,
+                         n_steps=10 if args.fast else 30)
+        print(json.dumps({
+            "metric": "transformer TP train steps/sec by mesh shape",
+            "value": {k: round(r, 1) for k, r in rates.items()},
+            "unit": "train steps/sec",
+            "vs_baseline": 1.0,
         }))
         return
 
