@@ -104,7 +104,7 @@ def bench_train(cfg, model, params, n_steps=100, batch_size=32):
 
     rf = L.init_rf_basis(jax.random.PRNGKey(1), model.z_dim,
                          cfg.losses.wae_mmd.rf_dim)
-    unroll = 10
+    unroll = 50   # production default (config.hw.unroll)
     chunk_step, opt = make_train_scan(model, cfg.vae, cfg.losses, rf,
                                       unroll, donate=True)
     # donated buffers: work on a private copy so callers keep their params
@@ -493,6 +493,13 @@ def write_baseline(cfg, model, params, fast=False):
                     + (" --fast" if fast else ""),
         "metrics": metrics,
     }
+    # the reference-style baseline (tools/refstyle_baseline.py) is a
+    # separately measured section — carry it across rewrites
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as fh:
+            old = json.load(fh)
+        if old.get("refstyle"):
+            payload["refstyle"] = old["refstyle"]
     with open(BASELINE_FILE, "w") as fh:
         json.dump(payload, fh, indent=2)
     log(f"wrote {BASELINE_FILE}: {json.dumps(metrics)}")

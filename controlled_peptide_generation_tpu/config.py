@@ -301,7 +301,12 @@ def default_config():
         dp=1,                 # data-parallel devices; 0 = all visible
         mesh_axis="data",
         donate_state=True,    # donate train-state buffers to the jitted step
-        unroll=10,            # optimizer steps per device dispatch (train)
+        unroll=50,            # optimizer steps per device dispatch (train).
+                              # Measured on the tunneled v5e (BENCH.md):
+                              # 10 -> 1.3k chunk steps/s, 50 -> 3.5k, 100
+                              # -> 3.5k; 50 divides the default cheaplog
+                              # cadences (500 phase-1 / 50 phase-2) so
+                              # chunks stay aligned with log boundaries
         fused_rounds=True,    # CLaSS: rejection+decode fused into one jit
         rounds_per_dispatch=1,  # CLaSS rounds drawn per device dispatch
         rounds_in_flight=2,   # CLaSS dispatches queued ahead of host work

@@ -163,18 +163,25 @@ def make_train_scan(model, cfgv, cfg_losses, rf_basis, unroll, donate=True):
     return train_chunk, optimizer
 
 
+# id(model) -> (jitted fn, model); the value pins the model so the id key
+# cannot be reused by a new object after GC (same policy as
+# parallel/mesh._dp_round_cache)
 _heldout_fns = {}
 
 
 def _heldout_fn(model):
-    """Per-model cached jitted heldout evaluator."""
-    fn = _heldout_fns.get(id(model))
-    if fn is None:
+    """Per-model cached jitted heldout evaluator over a STACK of batches.
+
+    All n_batches evaluate inside one program (vmap over the stack) and the
+    caller fetches every output in one transfer — per-batch dispatch with
+    float() syncs cost ~0.1-0.3s each through a tunneled device, which made
+    each checkpoint boundary ~5s (measured; BENCH.md)."""
+    entry = _heldout_fns.get(id(model))
+    if entry is None:
         use_flow = (model.flow > 0
                     and getattr(model, "flow_mode", "") == "posterior")
 
-        @jax.jit
-        def fn(params, key, text):
+        def one(params, key, text):
             if use_flow:
                 kz, kc, kd = jax.random.split(key, 3)
                 mu, lv = model.encode(params, text)
@@ -189,8 +196,15 @@ def _heldout_fn(model):
                 params, key, text, q_c="prior", sample_z=1, train=False)
             return (L.recon_dec(text, logits), L.kl_gaussianprior(mu, lv),
                     mu, lv)
-        _heldout_fns[id(model)] = fn
-    return fn
+
+        @jax.jit
+        def fn(params, keys, texts):
+            """keys: [n, 2] PRNG keys, texts: [n, B, T]."""
+            return jax.vmap(lambda k, t: one(params, k, t))(keys, texts)
+
+        entry = (fn, model)
+        _heldout_fns[id(model)] = entry
+    return entry[0]
 
 
 def evaluate_heldout(model, params, dataset, key, n_batches=4,
@@ -200,20 +214,19 @@ def evaluate_heldout(model, params, dataset, key, n_batches=4,
     if iterator not in getattr(dataset, "_iters", {}):
         return None
     fn = _heldout_fn(model)
-    recons, kls, mus, lvs = [], [], [], []
-    for i in range(n_batches):
-        b = dataset.next_batch(iterator)
-        r, k, mu, lv = fn(params, jax.random.fold_in(key, i),
-                          jnp.asarray(b.text))
-        recons.append(float(r))
-        kls.append(float(k))
-        mus.append(np.asarray(mu))
-        lvs.append(np.asarray(lv))
+    texts = np.stack([dataset.next_batch(iterator).text
+                      for _ in range(n_batches)])
+    keys = jnp.stack([jax.random.fold_in(key, i)
+                      for i in range(n_batches)])
+    # one dispatch, one transfer (see _heldout_fn)
+    recons, kls, mus, lvs = jax.device_get(
+        fn(params, keys, jnp.asarray(texts)))
     # Frobenius(Cov_q(z), I) over the pooled heldout encodings — the
     # posterior-vs-prior covariance health metric (reference computed it
     # only offline, vis/scripts/covar.py:98-102)
     from ..vis.covar import cov_q, frobenius_to_identity
-    C, _, _ = cov_q(np.concatenate(mus), np.concatenate(lvs))
+    C, _, _ = cov_q(mus.reshape(-1, mus.shape[-1]),
+                    lvs.reshape(-1, lvs.shape[-1]))
     return {"recon": float(np.mean(recons)), "kl": float(np.mean(kls)),
             "cov_frob": frobenius_to_identity(C)}
 
