@@ -268,3 +268,30 @@ def test_fused_round_applies_flow_like_composed_path():
     hyps, _ = beam_search(model, params, z_flowed, c, beam_size=5, n_best=1)
     np.testing.assert_array_equal(np.asarray(tokens),
                                   np.asarray(hyps[:, 0, :]))
+
+
+def test_heldout_vmap_equals_per_batch(setup):
+    """The one-dispatch heldout evaluator (train_vae._heldout_fn vmaps all
+    batches into one program; the old path dispatched each batch alone with
+    per-value syncs) is a pure re-batching: stacked results must equal the
+    same fn over singleton stacks."""
+    from controlled_peptide_generation_tpu.train.train_vae import (
+        _heldout_fn)
+    cfg, model, params, rf = setup
+    n, B = 3, 6
+    key = jax.random.PRNGKey(11)
+    texts = jax.random.randint(key, (n, B, 10), 4, 14).astype(jnp.int32)
+    texts = texts.at[..., 0].set(2).at[..., 7].set(3)
+    keys = jnp.stack([jax.random.fold_in(key, i) for i in range(n)])
+
+    fn = _heldout_fn(model)
+    r_all, k_all, mu_all, lv_all = fn(params, keys, texts)
+    assert r_all.shape == (n,) and mu_all.shape == (n, B, model.z_dim)
+    for i in range(n):
+        r1, k1, mu1, lv1 = fn(params, keys[i:i + 1], texts[i:i + 1])
+        np.testing.assert_allclose(float(r1[0]), float(r_all[i]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(k1[0]), float(k_all[i]),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(mu1[0]),
+                                   np.asarray(mu_all[i]), atol=1e-6)
