@@ -53,6 +53,12 @@ def _init_block(key, d_model, d_ff):
     resharding between the fused matmul and the attention — the Megatron
     sharding expressed purely through the weight layout. Init is i.i.d.
     uniform, so the layout choice does not change the init distribution.
+
+    LAYOUT BREAK (2026-08-17): the columns were previously blockwise
+    [all-q | all-k | all-v]. Shapes are identical, so a transformer
+    checkpoint saved under the old layout loads without error but
+    produces garbage attention. No such checkpoints were ever shipped;
+    retrain rather than migrate if one exists locally.
     """
     ka, ko, k1, k2 = jax.random.split(key, 4)
     return {

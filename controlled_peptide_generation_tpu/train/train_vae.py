@@ -214,19 +214,29 @@ def evaluate_heldout(model, params, dataset, key, n_batches=4,
     if iterator not in getattr(dataset, "_iters", {}):
         return None
     fn = _heldout_fn(model)
-    texts = np.stack([dataset.next_batch(iterator).text
-                      for _ in range(n_batches)])
-    keys = jnp.stack([jax.random.fold_in(key, i)
-                      for i in range(n_batches)])
-    # one dispatch, one transfer (see _heldout_fn)
-    recons, kls, mus, lvs = jax.device_get(
-        fn(params, keys, jnp.asarray(texts)))
+    batches = [dataset.next_batch(iterator).text
+               for _ in range(n_batches)]
+    keys = [jax.random.fold_in(key, i) for i in range(n_batches)]
+    if len({b.shape for b in batches}) == 1:
+        # one dispatch, one transfer (see _heldout_fn)
+        recons, kls, mus, lvs = jax.device_get(
+            fn(params, jnp.stack(keys), jnp.asarray(np.stack(batches))))
+        mus, lvs = mus.reshape(-1, mus.shape[-1]), lvs.reshape(-1,
+                                                               lvs.shape[-1])
+    else:
+        # ragged epoch-tail batches (non-weighted iterators): singleton
+        # stacks through the same program per shape
+        outs = [jax.device_get(fn(params, k[None], jnp.asarray(b[None])))
+                for k, b in zip(keys, batches)]
+        recons = np.array([o[0][0] for o in outs])
+        kls = np.array([o[1][0] for o in outs])
+        mus = np.concatenate([o[2][0] for o in outs])
+        lvs = np.concatenate([o[3][0] for o in outs])
     # Frobenius(Cov_q(z), I) over the pooled heldout encodings — the
     # posterior-vs-prior covariance health metric (reference computed it
     # only offline, vis/scripts/covar.py:98-102)
     from ..vis.covar import cov_q, frobenius_to_identity
-    C, _, _ = cov_q(mus.reshape(-1, mus.shape[-1]),
-                    lvs.reshape(-1, lvs.shape[-1]))
+    C, _, _ = cov_q(mus, lvs)
     return {"recon": float(np.mean(recons)), "kl": float(np.mean(kls)),
             "cov_frob": frobenius_to_identity(C)}
 

@@ -295,3 +295,37 @@ def test_heldout_vmap_equals_per_batch(setup):
                                    rtol=1e-6)
         np.testing.assert_allclose(np.asarray(mu1[0]),
                                    np.asarray(mu_all[i]), atol=1e-6)
+
+
+def test_heldout_handles_ragged_batches(setup):
+    """Epoch-tail batches from non-weighted iterators can be short; the
+    evaluator must fall back to per-shape dispatch instead of crashing on
+    np.stack (and still pool encodings across all rows)."""
+    from controlled_peptide_generation_tpu.train.train_vae import (
+        evaluate_heldout)
+    cfg, model, params, rf = setup
+
+    key = jax.random.PRNGKey(13)
+    shapes = [6, 6, 3, 6]   # one short epoch-tail batch
+
+    class FakeDataset:
+        _iters = {"hld_vae": None}
+
+        def __init__(self):
+            self._n = 0
+
+        def next_batch(self, name):
+            B = shapes[self._n]
+            self._n += 1
+            t = jax.random.randint(jax.random.fold_in(key, self._n),
+                                   (B, 10), 4, 14).astype(jnp.int32)
+            t = t.at[:, 0].set(2).at[:, 7].set(3)
+
+            class B_:
+                text = np.asarray(t)
+            return B_
+
+    out = evaluate_heldout(model, params, FakeDataset(),
+                           jax.random.PRNGKey(14))
+    assert set(out) == {"recon", "kl", "cov_frob"}
+    assert np.isfinite(out["recon"]) and np.isfinite(out["cov_frob"])
