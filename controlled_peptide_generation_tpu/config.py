@@ -429,9 +429,8 @@ def finalize(cfg):
         cfg.shared.batch_size = 5
         cfg.full.s_iter = 100
         cfg.resume_result_json = False
-        # chunks must fit between the 10-iter log boundaries or the loop
-        # falls back to per-step dispatch for the whole run
-        cfg.hw.unroll = min(cfg.hw.unroll, 10)
+        # (hw.unroll needs no tiny override: the trainers clamp it to the
+        # gcd of the log cadences, here gcd(50, 10, 25) = 5)
 
     if cfg.partN > 1:
         assert cfg.phase > 0, "split in parts needs per-phase split"

@@ -292,8 +292,13 @@ def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
                                     cfg.hw.get("mesh_axis", "data"))
 
     # multi-step unroll: run `unroll` optimizer steps per device dispatch
-    # between host/logging boundaries
+    # between host/logging boundaries. Clamp to the largest divisor of
+    # both log cadences — otherwise boundaries land mid-chunk and the
+    # loop silently falls back to per-step dispatch for the whole run.
+    import math
     unroll = int(cfg.hw.get("unroll", 1) or 1)
+    unroll = math.gcd(math.gcd(unroll, int(cfgv.cheaplog_every)),
+                      int(cfgv.expsvlog_every))
     if rf_basis is None:
         unroll = 1   # per-step basis resampling: no chunking
     if unroll > 1:
