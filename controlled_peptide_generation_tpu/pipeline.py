@@ -353,6 +353,31 @@ def run(cfg, args):
     # (~150 ms RTT each), so drawing R rounds' worth of candidates in one
     # program amortizes it (distribution-identical; host dedup unchanged)
     rpd = max(int(cfg.hw.get("rounds_per_dispatch", 1)), 1)
+    if getattr(model, "G_class", "gru") == "transformer":
+        # each beam lane of the transformer decoder carries a KV cache of
+        # L*(T+1)*d_model*2 bf16 values (~70x the GRU hidden state); a
+        # 50k-candidate fused dispatch at beam 5 wants ~20 GB of HBM and
+        # dies at compile time. Clamp the dispatch to a lane budget and
+        # let the loop issue more (async) dispatches instead.
+        t_args = model.dec_tfm_args
+        cache_bytes = (t_args.get("n_layers", 2)
+                       * (model.max_seq_len + 1)
+                       * t_args.get("d_model", 128) * 2 * 2)
+        beam = 5   # fused-round decode beam (reference K, pipeline.py:148)
+        cap = float(cfg.hw.get("accept_cap_frac", 0.5))
+        lane_budget = int(cfg.hw.get("tfm_lane_budget_gb", 4.0) * 2**30)
+        # ~6x: measured total-HBM-to-raw-cache ratio of the compiled
+        # round (attention temps, scan emissions, double buffering) — a
+        # 25k-slot dispatch used 20 GB against 3.3 GB of raw cache
+        per_cand = 6 * cache_bytes * beam * (
+            cap if cfg.hw.get("decode_mode", "all") == "accepted" else 1.0)
+        max_rpd = max(int(lane_budget / max(per_cand, 1)
+                          / args.n_samples_per_round), 1)
+        if rpd > max_rpd:
+            LOG.info("transformer decoder: clamping rounds_per_dispatch "
+                     "%d -> %d (KV-cache lane budget %.1f GB)",
+                     rpd, max_rpd, lane_budget / 2**30)
+            rpd = max_rpd
     # multi-chip: shard each round over a device mesh (hw.dp; 0 = all)
     n_dp = int(cfg.hw.get("dp", 1))
     if n_dp == 0:
