@@ -32,6 +32,9 @@ import jax.numpy as jnp
 
 from ..ops import nn
 from ..ops.beam import beam_search, beam_search_logits
+
+# max sentences per beam_search call inside a fused round (see _round_body)
+_BEAM_CHUNK = 25_000
 from . import gmm as gmm_mod
 
 
@@ -84,16 +87,30 @@ def _round_body(model, params, key, kind, q_params, clf_w, clf_b, targets,
         z_d, c_d = z_dec.astype(dt), c.astype(dt)
     else:
         dec_params, z_d, c_d = params, z_dec, c
-    if model.G_class == "deconv":
-        # non-autoregressive family: all logits precomputed from (z, c),
-        # beam replays them (same contract as generation.py:46-53) —
-        # still one fused program per round
-        logits = model.decode_logits(dec_params, z_d, c_d)
-        hyps, scores = beam_search_logits(logits, beam_size=beam_size,
-                                          n_best=1)
+    # decode in <=_BEAM_CHUNK-sentence slices (still ONE program — the
+    # slices are a python loop inside the trace, concatenated). Beyond
+    # ~25k sentences after the accepted-first compaction, the single big
+    # beam kernel trips a deterministic TPU backend fault ("TPU device
+    # error") on this toolchain; chunking sidesteps it at no measurable
+    # cost and results are exact (per-sentence independence).
+    def _decode(z_i, c_i):
+        if model.G_class == "deconv":
+            # non-autoregressive family: all logits precomputed from
+            # (z, c), beam replays them (generation.py:46-53 contract)
+            logits = model.decode_logits(dec_params, z_i, c_i)
+            return beam_search_logits(logits, beam_size=beam_size,
+                                      n_best=1)
+        return beam_search(model, dec_params, z_i, c_i,
+                           beam_size=beam_size, n_best=1)
+
+    B_dec = z_d.shape[0]
+    if B_dec > _BEAM_CHUNK:
+        parts = [_decode(z_d[s:s + _BEAM_CHUNK], c_d[s:s + _BEAM_CHUNK])
+                 for s in range(0, B_dec, _BEAM_CHUNK)]
+        hyps = jnp.concatenate([p[0] for p in parts])
+        scores = jnp.concatenate([p[1] for p in parts])
     else:
-        hyps, scores = beam_search(model, dec_params, z_d, c_d,
-                                   beam_size=beam_size, n_best=1)
+        hyps, scores = _decode(z_d, c_d)
     if capacity is None:
         return z, c, probs, accum, accept, hyps[:, 0, :]
     return z, c, probs, accum, accept, hyps[:, 0, :], idx, valid
