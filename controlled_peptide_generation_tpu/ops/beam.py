@@ -63,7 +63,6 @@ def _advance_one(logp, scores, prev, adv, *, K, V, min_length):
     wp = jnp.where(jnp.asarray(v_ix == START_IDX), NEG, logp)
     wp = jnp.where(cur_len < min_length,
                    jnp.where(jnp.asarray(v_ix == EOS_IDX), NEG, wp), wp)
-    wp = jax.lax.optimization_barrier(wp)
 
     # candidate matrix: first advance draws from beam 0 only
     later = wp + scores[:, None]
