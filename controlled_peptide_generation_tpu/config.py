@@ -430,7 +430,7 @@ def finalize(cfg):
         cfg.full.s_iter = 100
         cfg.resume_result_json = False
         # (hw.unroll needs no tiny override: the trainers clamp it to the
-        # gcd of the log cadences, here gcd(50, 10, 25) = 5)
+        # largest boundary-aligned divisor of the log cadences — here 5)
 
     if cfg.partN > 1:
         assert cfg.phase > 0, "split in parts needs per-phase split"

@@ -32,10 +32,10 @@ import jax.numpy as jnp
 
 from ..ops import nn
 from ..ops.beam import beam_search, beam_search_logits
+from . import gmm as gmm_mod
 
 # max sentences per beam_search call inside a fused round (see _round_body)
 _BEAM_CHUNK = 25_000
-from . import gmm as gmm_mod
 
 
 def _round_body(model, params, key, kind, q_params, clf_w, clf_b, targets,

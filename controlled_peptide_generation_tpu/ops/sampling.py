@@ -24,6 +24,19 @@ HARD_MODES = ("categorical", "greedy")
 SOFT_MODES = ("none_softmax", "greedy_softmax", "categorical_softmax")
 
 
+def _mask_specials_first_step(logits, i):
+    """prevent_empty: mask PAD/START/EOS on the first step only
+    (model.py:299-305) — a fused where over the V axis, not per-column
+    .at[].set scatters (a strided DUS costs ~0.4 ms/step on TPU, see
+    ops/beam.py _advance_one)."""
+    large_neg = -2.0 * jnp.abs(jnp.min(logits))
+    v_ix = jnp.arange(logits.shape[-1])
+    special = ((v_ix == PAD_IDX) | (v_ix == START_IDX)
+               | (v_ix == EOS_IDX))
+    return jnp.where((i == 0) & special, large_neg, logits)
+
+
+
 @partial(jax.jit, static_argnames=(
     "model", "sample_mode", "prepend_start_idx", "prevent_empty"))
 def sample_sentences(model, params, key, z, c,
@@ -58,15 +71,7 @@ def sample_sentences(model, params, key, z, c,
         # sampling math in fp32 whatever dtype the decoder ran in
         logits = logits.astype(jnp.float32)
         if prevent_empty:
-            # mask specials on the first step only (model.py:299-305);
-            # fused where over the V axis, not per-column .at[].set
-            # scatters (a strided DUS costs ~0.4 ms/step on TPU — see
-            # ops/beam.py _advance_one)
-            large_neg = -2.0 * jnp.abs(jnp.min(logits))
-            v_ix = jnp.arange(logits.shape[-1])
-            special = ((v_ix == PAD_IDX) | (v_ix == START_IDX)
-                       | (v_ix == EOS_IDX))
-            logits = jnp.where((i == 0) & special, large_neg, logits)
+            logits = _mask_specials_first_step(logits, i)
 
         new_tok = tok
         new_soft = softix
@@ -131,11 +136,7 @@ def sample_from_logits(key, all_logits, sample_mode="categorical",
         tok, finished = carry
         key_t, i, logits = inp
         if prevent_empty:
-            large_neg = -2.0 * jnp.abs(jnp.min(logits))
-            v_ix = jnp.arange(logits.shape[-1])
-            special = ((v_ix == PAD_IDX) | (v_ix == START_IDX)
-                       | (v_ix == EOS_IDX))
-            logits = jnp.where((i == 0) & special, large_neg, logits)
+            logits = _mask_specials_first_step(logits, i)
         new_tok = tok
         new_soft = None
         if sample_mode in ("categorical", "categorical_softmax"):

@@ -144,8 +144,14 @@ def build_clfZ(cfg, attr, attributes=None):
 # decode + sampling rounds
 # ---------------------------------------------------------------------------
 
+# beam width of every pipeline decode stage (the reference's K,
+# sample_pipeline.py:132-137); the fused rounds and the HBM clamp below
+# must agree on it
+DECODE_BEAM_SIZE = 5
+
+
 def decode_from_z(z, model, params, dataset, key=None, chunk=1024,
-                  beam_size=5):
+                  beam_size=DECODE_BEAM_SIZE):
     """Beam-decode latents in fixed-size chunks (top-1 hypothesis kept).
     The final partial chunk is zero-padded so every launch reuses one
     compiled program (reference decodes variable chunks:
@@ -217,6 +223,7 @@ def launch_round(cfg, model, params, Q, n_samples, key, fused=True,
         from . import parallel
         out = parallel.dp_fused_round(
             mesh, model, params, key, Q, n_samples,
+            beam_size=DECODE_BEAM_SIZE,
             axis=cfg.hw.get("mesh_axis", "data"),
             decode_dtype=cfg.hw.get("gen_dtype", "bfloat16"),
             capacity=capacity)
@@ -224,6 +231,7 @@ def launch_round(cfg, model, params, Q, n_samples, key, fused=True,
         from .latent.fused import fused_round
         out = fused_round(
             model, params, key, Q, n_samples,
+            beam_size=DECODE_BEAM_SIZE,
             decode_dtype=cfg.hw.get("gen_dtype", "bfloat16"),
             capacity=capacity)
     if capacity is None:
@@ -349,39 +357,42 @@ def run(cfg, args):
 
     t_sampling = time.perf_counter()
 
+    # multi-chip: shard each round over a device mesh (hw.dp; 0 = all)
+    n_dp = int(cfg.hw.get("dp", 1))
+    if n_dp == 0:
+        n_dp = len(jax.devices())
     # rounds per device dispatch: the tunnel serializes dispatches
     # (~150 ms RTT each), so drawing R rounds' worth of candidates in one
     # program amortizes it (distribution-identical; host dedup unchanged)
     rpd = max(int(cfg.hw.get("rounds_per_dispatch", 1)), 1)
     if getattr(model, "G_class", "gru") == "transformer":
         # each beam lane of the transformer decoder carries a KV cache of
-        # L*(T+1)*d_model*2 bf16 values (~70x the GRU hidden state); a
-        # 50k-candidate fused dispatch at beam 5 wants ~20 GB of HBM and
-        # dies at compile time. Clamp the dispatch to a lane budget and
-        # let the loop issue more (async) dispatches instead.
+        # L*(T+1)*d_model values in the decode dtype (~70x the GRU hidden
+        # state); a 50k-candidate fused dispatch at beam 5 wants ~20 GB
+        # of HBM and dies at compile time. Clamp the dispatch to a lane
+        # budget and let the loop issue more (async) dispatches instead.
         t_args = model.dec_tfm_args
+        dt_bytes = jnp.dtype(cfg.hw.get("gen_dtype", "bfloat16")).itemsize
         cache_bytes = (t_args.get("n_layers", 2)
                        * (model.max_seq_len + 1)
-                       * t_args.get("d_model", 128) * 2 * 2)
-        beam = 5   # fused-round decode beam (reference K, pipeline.py:148)
+                       * t_args.get("d_model", 128) * 2 * dt_bytes)
         cap = float(cfg.hw.get("accept_cap_frac", 0.5))
-        lane_budget = int(cfg.hw.get("tfm_lane_budget_gb", 4.0) * 2**30)
+        # per-DEVICE budget: dp_fused_round shards the lanes over the mesh
+        lane_budget = int(cfg.hw.get("tfm_lane_budget_gb", 4.0)
+                          * 2**30) * n_dp
         # ~6x: measured total-HBM-to-raw-cache ratio of the compiled
         # round (attention temps, scan emissions, double buffering) — a
         # 25k-slot dispatch used 20 GB against 3.3 GB of raw cache
-        per_cand = 6 * cache_bytes * beam * (
+        per_cand = 6 * cache_bytes * DECODE_BEAM_SIZE * (
             cap if cfg.hw.get("decode_mode", "all") == "accepted" else 1.0)
         max_rpd = max(int(lane_budget / max(per_cand, 1)
                           / args.n_samples_per_round), 1)
         if rpd > max_rpd:
             LOG.info("transformer decoder: clamping rounds_per_dispatch "
-                     "%d -> %d (KV-cache lane budget %.1f GB)",
-                     rpd, max_rpd, lane_budget / 2**30)
+                     "%d -> %d (KV-cache lane budget %.1f GB x %d devices)",
+                     rpd, max_rpd,
+                     float(cfg.hw.get("tfm_lane_budget_gb", 4.0)), n_dp)
             rpd = max_rpd
-    # multi-chip: shard each round over a device mesh (hw.dp; 0 = all)
-    n_dp = int(cfg.hw.get("dp", 1))
-    if n_dp == 0:
-        n_dp = len(jax.devices())
     mesh = None
     if n_dp > 1:
         from . import parallel

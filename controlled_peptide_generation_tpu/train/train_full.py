@@ -193,12 +193,11 @@ def train_full(cfg, model, dataset, params, logger=None,
                                         donate=cfg.hw.donate_state)
     oE, oG, oC = (o.init(params) for o in opts)
 
-    # clamp to the largest divisor of both log cadences so boundaries
-    # never land mid-chunk (same policy as train_vae)
-    import math
-    unroll = int(cfg.hw.get("unroll", 1) or 1)
-    unroll = math.gcd(math.gcd(unroll, int(cfgf.cheaplog_every)),
-                      int(cfgf.expsvlog_every))
+    # clamp to the largest boundary-aligned chunk width (train_vae policy)
+    from .train_vae import aligned_unroll
+    unroll = aligned_unroll(int(cfg.hw.get("unroll", 1) or 1),
+                            int(cfgf.cheaplog_every),
+                            int(cfgf.expsvlog_every))
     if unroll > 1:
         full_chunk, _ = make_full_scan(model, cfgf, cfg.losses, rf_basis,
                                        unroll, donate=cfg.hw.donate_state)

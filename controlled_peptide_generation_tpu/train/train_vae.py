@@ -163,6 +163,21 @@ def make_train_scan(model, cfgv, cfg_losses, rf_basis, unroll, donate=True):
     return train_chunk, optimizer
 
 
+def aligned_unroll(unroll, *cadences):
+    """Largest chunk width <= unroll that divides every log cadence.
+
+    A chunk straddling a boundary forces per-step dispatch, but clamping
+    to gcd(unroll, cadences) over-shrinks (e.g. unroll 64 with cadence
+    500 -> 4); the largest divisor of the cadences' gcd that still fits
+    (-> 50) keeps chunks big AND aligned."""
+    import math
+    g = math.gcd(*cadences)
+    for d in range(min(unroll, g), 0, -1):
+        if g % d == 0:
+            return d
+    return 1
+
+
 # id(model) -> (jitted fn, model); the value pins the model so the id key
 # cannot be reused by a new object after GC (same policy as
 # parallel/mesh._dp_round_cache)
@@ -292,13 +307,12 @@ def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
                                     cfg.hw.get("mesh_axis", "data"))
 
     # multi-step unroll: run `unroll` optimizer steps per device dispatch
-    # between host/logging boundaries. Clamp to the largest divisor of
-    # both log cadences — otherwise boundaries land mid-chunk and the
-    # loop silently falls back to per-step dispatch for the whole run.
-    import math
-    unroll = int(cfg.hw.get("unroll", 1) or 1)
-    unroll = math.gcd(math.gcd(unroll, int(cfgv.cheaplog_every)),
-                      int(cfgv.expsvlog_every))
+    # between host/logging boundaries, clamped to stay boundary-aligned
+    # (otherwise boundaries land mid-chunk and the loop silently falls
+    # back to per-step dispatch for the whole run)
+    unroll = aligned_unroll(int(cfg.hw.get("unroll", 1) or 1),
+                            int(cfgv.cheaplog_every),
+                            int(cfgv.expsvlog_every))
     if rf_basis is None:
         unroll = 1   # per-step basis resampling: no chunking
     if unroll > 1:

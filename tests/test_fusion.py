@@ -329,3 +329,16 @@ def test_heldout_handles_ragged_batches(setup):
                            jax.random.PRNGKey(14))
     assert set(out) == {"recon", "kl", "cov_frob"}
     assert np.isfinite(out["recon"]) and np.isfinite(out["cov_frob"])
+
+
+def test_aligned_unroll():
+    """Chunk width: the largest divisor of the cadences' gcd that fits
+    under the requested unroll — never the over-shrunk plain gcd."""
+    from controlled_peptide_generation_tpu.train.train_vae import (
+        aligned_unroll)
+    assert aligned_unroll(50, 500, 20000) == 50
+    assert aligned_unroll(64, 500, 20000) == 50   # gcd would say 4
+    assert aligned_unroll(7, 500, 20000) == 5     # gcd would say 1
+    assert aligned_unroll(50, 10, 25) == 5        # tiny profile
+    assert aligned_unroll(1, 500, 20000) == 1
+    assert aligned_unroll(100, 100, 100) == 100
