@@ -82,20 +82,25 @@ def _advance_one(logp, scores, prev, adv, *, K, V, min_length):
 
 
 def _backtrace(t, k, ys, ptrs, T):
-    """Walk backpointers from (t, k); returns [T+1] tokens, PAD beyond t."""
-    hyp0 = jnp.full((T + 1,), PAD_IDX, jnp.int32)
+    """Walk backpointers from (t, k); returns [T+1] tokens, PAD beyond t.
 
-    def body(jj, carry):
-        k_cur, hyp = carry
-        j = T - 1 - jj
+    The walk is a reverse lax.scan EMITTING each token — scattering them
+    into a preallocated hyp buffer (`hyp.at[j+1].set`) was another
+    scatter-in-loop pattern costing real device time (see _advance_one).
+    A log-depth associative-scan pointer composition was also tried and
+    measured SLOWER: composing [K]-maps means gathers along a 5-wide
+    lane-padded axis, which TPUs execute far worse than this short
+    sequential walk.
+    """
+    def body(k_cur, j):
         on = (j + 1) <= t
-        tok = jnp.where(on, ys[j + 1, k_cur], hyp[j + 1])
-        hyp = hyp.at[j + 1].set(tok)
-        k_cur = jnp.where(on, ptrs[j, k_cur], k_cur)
-        return k_cur, hyp
+        tok = jnp.where(on, ys[j + 1, k_cur], PAD_IDX)
+        k_next = jnp.where(on, ptrs[j, k_cur], k_cur)
+        return k_next, tok
 
-    k_fin, hyp = jax.lax.fori_loop(0, T, body, (k, hyp0))
-    return hyp.at[0].set(ys[0, k_fin])
+    k_fin, toks_rev = jax.lax.scan(body, k,
+                                   jnp.arange(T - 1, -1, -1))
+    return jnp.concatenate([ys[0, k_fin][None], toks_rev[::-1]])
 
 
 def _finalize_one(ys, ptrs, scores, adv, fin_cnt, fin_mask, fin_score,

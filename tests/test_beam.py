@@ -157,3 +157,27 @@ def test_beam_output_contract(model_and_params):
     assert (np.diff(s, axis=1) <= 1e-6).all()
     # no START generated inside hypotheses
     assert not (hyps[:, :, 1:] == START_IDX).any()
+
+
+def test_backtrace_matches_numpy_walk():
+    """The scan-emitting backtrace must match a plain python/numpy
+    pointer walk exactly on random pointer tables."""
+    import numpy as np
+    from controlled_peptide_generation_tpu.ops.beam import _backtrace
+    from controlled_peptide_generation_tpu.data.vocab import PAD_IDX
+    rng = np.random.default_rng(0)
+    T, K = 9, 4
+    for trial in range(5):
+        ys = rng.integers(0, 20, (T + 1, K)).astype(np.int32)
+        ptrs = rng.integers(0, K, (T, K)).astype(np.int32)
+        t = int(rng.integers(0, T + 1))
+        k = int(rng.integers(0, K))
+        want = np.full(T + 1, PAD_IDX, np.int32)
+        k_cur = k
+        for p_ in range(t, 0, -1):
+            want[p_] = ys[p_, k_cur]
+            k_cur = ptrs[p_ - 1, k_cur]
+        want[0] = ys[0, k_cur]
+        got = np.asarray(_backtrace(jnp.asarray(t), jnp.asarray(k),
+                                    jnp.asarray(ys), jnp.asarray(ptrs), T))
+        np.testing.assert_array_equal(want, got)
