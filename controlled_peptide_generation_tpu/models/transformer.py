@@ -130,16 +130,26 @@ def _block_step(p, x, cache_k, cache_v, pos, n_heads):
     """One token through a block with KV cache.
 
     x: [B, D]; cache_k/v: [B, S, D] (this block's lanes); pos: [B] int32
-    write position. Returns (y [B, D], new_k, new_v)."""
+    write position. Returns (y [B, D], new_k, new_v).
+
+    INVARIANT: every generation engine (ops/sampling.py scan, ops/beam.py)
+    advances ALL lanes in lockstep, so pos is uniform across the batch.
+    The cache write exploits this: a contiguous dynamic_update_slice at
+    pos[0] instead of a batched `.at[arange(B), pos]` scatter — the four
+    scatter writes (k and v x n_layers) were 64% of the whole transformer
+    beam program on TPU (profiled: ~150 ms each over 3x1024-seq calls).
+    """
     B, S, D = cache_k.shape
     h = _ln(p["ln1"], x)
     qkv = nn.linear(p["qkv"], h)
     q, k, v = _unpack_qkv(qkv, n_heads)            # [B, H, Dh] each
-    bix = jnp.arange(B)
     # cache rows are the head-major flattening of [H, Dh] — the same
     # layout _split_heads reverses below
-    cache_k = cache_k.at[bix, pos].set(k.reshape(B, D))
-    cache_v = cache_v.at[bix, pos].set(v.reshape(B, D))
+    p0 = pos[0]
+    cache_k = jax.lax.dynamic_update_slice(
+        cache_k, k.reshape(B, 1, D).astype(cache_k.dtype), (0, p0, 0))
+    cache_v = jax.lax.dynamic_update_slice(
+        cache_v, v.reshape(B, 1, D).astype(cache_v.dtype), (0, p0, 0))
     # attend to positions 0..pos (inclusive of the token just written)
     mask = (jnp.arange(S)[None, :] <= pos[:, None])[:, None, None, :]
     q4 = q[:, None]                                # [B, 1, H, Dh]
@@ -245,10 +255,12 @@ def init_cache(params, z, c, max_seq_len, n_heads=4, bf16=False):
     """Process the latent prefix through all layers, returning the decoder
     hidden state pytree for the step engines. Every leaf is batch-leading.
 
-    cache layout: k/v [B, L, S, D] with S = max_seq_len + 1 (latent at
-    position 0); pos [B] = next write position (1)."""
+    cache layout: k/v are PER-LAYER lists of [B, S, D] leaves with
+    S = max_seq_len + 1 (latent at position 0); pos [B] = next write
+    position (1). Separate leaves (rather than one stacked [B, L, S, D]
+    array) mean each step updates only its layer's buffer — re-slicing a
+    stacked cache copied the whole thing per layer per step."""
     B = z.shape[0]
-    L = len(params["blocks"])
     D = params["pos"].shape[1]
     S = max_seq_len + 1
     dt = _compute_dtype(params, bf16)
@@ -256,14 +268,14 @@ def init_cache(params, z, c, max_seq_len, n_heads=4, bf16=False):
     x = (nn.linear(params["latent"],
                    jnp.concatenate([z, c], axis=1).astype(dt))
          + params["pos"][0]).astype(dt)
-    ck = jnp.zeros((B, L, S, D), dt)
-    cv = jnp.zeros((B, L, S, D), dt)
     pos0 = jnp.zeros((B,), jnp.int32)
-    for li, p in enumerate(blocks):
-        x, k_l, v_l = _block_step(p, x, ck[:, li], cv[:, li], pos0, n_heads)
-        ck = ck.at[:, li].set(k_l)
-        cv = cv.at[:, li].set(v_l)
-    return {"k": ck, "v": cv, "pos": jnp.ones((B,), jnp.int32)}
+    ks, vs = [], []
+    for p in blocks:
+        x, k_l, v_l = _block_step(p, x, jnp.zeros((B, S, D), dt),
+                                  jnp.zeros((B, S, D), dt), pos0, n_heads)
+        ks.append(k_l)
+        vs.append(v_l)
+    return {"k": ks, "v": vs, "pos": jnp.ones((B,), jnp.int32)}
 
 
 def apply_step(params, emb_params, token_hard, token_soft, z, c, cache,
@@ -279,11 +291,9 @@ def apply_step(params, emb_params, token_hard, token_soft, z, c, cache,
     dt = _compute_dtype(params, bf16)
     blocks = nn.cast_tree(params["blocks"], dt)
     x = (nn.linear(params["in"], emb) + params["pos"][pos]).astype(dt)
-    ck, cv = cache["k"], cache["v"]
+    ks, vs = list(cache["k"]), list(cache["v"])
     for li, p in enumerate(blocks):
-        x, k_l, v_l = _block_step(p, x, ck[:, li], cv[:, li], pos, n_heads)
-        ck = ck.at[:, li].set(k_l)
-        cv = cv.at[:, li].set(v_l)
+        x, ks[li], vs[li] = _block_step(p, x, ks[li], vs[li], pos, n_heads)
     x = _ln(params["ln_f"], x).astype(jnp.float32)
     logits = nn.linear(params["out"], x)
-    return logits, {"k": ck, "v": cv, "pos": pos + 1}
+    return logits, {"k": ks, "v": vs, "pos": pos + 1}

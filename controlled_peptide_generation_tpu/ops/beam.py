@@ -189,13 +189,17 @@ def beam_search(model, params, z, c, beam_size=5, n_best=3, min_length=1,
             idx = prev_k.reshape(B, K, *([1] * (a.ndim - 2)))
             return jnp.take_along_axis(a, idx, axis=1)
 
-        h_adv = jax.tree.map(reorder, h_new)
+        # done sentences' hidden state advances too — their emissions,
+        # scores and finish records are all gated on `done` below, so
+        # nothing observable depends on it, and freezing it would (a)
+        # spend a full-cache select per step (30% of the transformer beam
+        # program, profiled) and (b) desynchronize the KV-cache write
+        # position across sentences, breaking the uniform-pos invariant
+        # the cache's dynamic_update_slice relies on (models/transformer
+        # _block_step)
+        h_next = jax.tree.map(reorder, h_new)
 
         d1 = done[:, None]
-        h_next = jax.tree.map(
-            lambda old, new: jnp.where(
-                done.reshape(B, *([1] * (new.ndim - 1))), old, new),
-            state.h, h_adv)
         mask = mask & ~d1                      # done sentences record nothing
         new_state = BeamState(
             scores=jnp.where(d1, state.scores, best),
