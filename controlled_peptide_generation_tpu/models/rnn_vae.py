@@ -39,6 +39,12 @@ class RNNVAE:
     E_args: dict = field(default_factory=dict)
     G_args: dict = field(default_factory=dict)
     C_args: dict = field(default_factory=dict)
+    # optional overrides for how transformer block stacks are applied in
+    # the full-sequence (teacher-forced) passes; parallel/pp.py installs
+    # pipeline-parallel schedules here via dataclasses.replace. Static
+    # config like everything else on this object (eq=False identity hash).
+    enc_blocks_apply: Any = None
+    dec_blocks_apply: Any = None
 
     @property
     def h_dec(self):
@@ -156,7 +162,8 @@ class RNNVAE:
                 n_heads=t_args.get("n_heads", 4),
                 key=key, train=train,
                 p_dropout=t_args.get("p_dropout", 0.0),
-                bf16=t_args.get("bf16", False))
+                bf16=t_args.get("bf16", False),
+                blocks_apply=self.enc_blocks_apply)
         return enc.apply(params["enc"], emb,
                          h_dim=self.E_args.get("h_dim", 80),
                          biGRU=self.E_args.get("biGRU", True))
@@ -197,7 +204,8 @@ class RNNVAE:
                 n_heads=t_args.get("n_heads", 4),
                 p_word_dropout=t_args.get("p_word_dropout", 0.3),
                 p_dropout=t_args.get("p_dropout", 0.0),
-                bf16=t_args.get("bf16", False))
+                bf16=t_args.get("bf16", False),
+                blocks_apply=self.dec_blocks_apply)
         g_args = self.gru_args
         return dec.apply_teacher_forced(
             params["dec"], params["emb"], tokens, z, c, key, train,

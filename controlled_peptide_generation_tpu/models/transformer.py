@@ -180,21 +180,30 @@ def init_encoder(key, emb_dim, z_dim, max_seq_len, d_model=128, n_layers=2,
 
 
 def apply_encoder(params, emb, pad_mask, n_heads=4, key=None,
-                  p_dropout=0.0, train=False, bf16=False):
+                  p_dropout=0.0, train=False, bf16=False,
+                  blocks_apply=None):
     """emb: [B, T, E]; pad_mask: [B, T] True at real tokens.
 
     Pooling = masked mean over non-PAD positions (the transformer analog of
-    the biGRU's last-state concat)."""
+    the biGRU's last-state concat).
+
+    ``blocks_apply(blocks, x, mask) -> x`` overrides how the block stack is
+    applied (parallel/pp.py routes it through a pipeline-parallel schedule);
+    the default is the sequential loop. Override paths carry no dropout —
+    callers assert p_dropout == 0."""
     B, T, _ = emb.shape
     dt = _enc_compute_dtype(params, bf16)
     blocks = nn.cast_tree(params["blocks"], dt)
     x = (nn.linear(params["in"], emb) + params["pos"][:T]).astype(dt)
     mask = pad_mask[:, None, None, :]          # attend only to real tokens
-    keys = (jax.random.split(key, len(blocks))
-            if key is not None else [None] * len(blocks))
-    for p, k in zip(blocks, keys):
-        x = _block_full(p, x, mask, n_heads, key=k,
-                        p_dropout=p_dropout, train=train)
+    if blocks_apply is not None:
+        x = blocks_apply(blocks, x, mask)
+    else:
+        keys = (jax.random.split(key, len(blocks))
+                if key is not None else [None] * len(blocks))
+        for p, k in zip(blocks, keys):
+            x = _block_full(p, x, mask, n_heads, key=k,
+                            p_dropout=p_dropout, train=train)
     x = _ln(params["ln_f"], x).astype(jnp.float32)
     denom = jnp.maximum(pad_mask.sum(1, keepdims=True), 1).astype(x.dtype)
     pooled = (x * pad_mask[:, :, None]).sum(1) / denom
@@ -222,12 +231,15 @@ def init_decoder(key, emb_dim, z_dim, c_dim, output_dim, max_seq_len,
 
 def apply_teacher_forced(params, emb_params, tokens, z, c, key, train,
                          n_heads=4, p_word_dropout=0.3, p_dropout=0.0,
-                         bf16=False):
+                         bf16=False, blocks_apply=None):
     """tokens: [B, T] -> logits [B, T, V]; logits[t] = f(latent,
     tokens[0..t]) — the same contract as the GRU teacher-forced scan.
 
     One causal pass over [latent, emb(tokens)] (length T+1); outputs at
-    positions 1..T are the per-step logits."""
+    positions 1..T are the per-step logits.
+
+    ``blocks_apply`` overrides the sequential block loop (see
+    apply_encoder; parallel/pp.py supplies the pipeline-parallel one)."""
     from ..data.vocab import UNK_IDX
     k_wd, k_blocks = jax.random.split(key)
     x_tok = nn.word_dropout(k_wd, tokens, p_word_dropout, UNK_IDX, train)
@@ -243,10 +255,13 @@ def apply_teacher_forced(params, emb_params, tokens, z, c, key, train,
     S = T + 1
     causal = (jnp.arange(S)[None, :] <= jnp.arange(S)[:, None])
     mask = causal[None, None, :, :]
-    keys = jax.random.split(k_blocks, len(blocks))
-    for p, k in zip(blocks, keys):
-        x = _block_full(p, x, mask, n_heads, key=k,
-                        p_dropout=p_dropout, train=train)
+    if blocks_apply is not None:
+        x = blocks_apply(blocks, x, mask)
+    else:
+        keys = jax.random.split(k_blocks, len(blocks))
+        for p, k in zip(blocks, keys):
+            x = _block_full(p, x, mask, n_heads, key=k,
+                            p_dropout=p_dropout, train=train)
     x = _ln(params["ln_f"], x).astype(jnp.float32)
     return nn.linear(params["out"], x[:, 1:])            # [B, T, V]
 
