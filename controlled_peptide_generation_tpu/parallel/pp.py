@@ -33,6 +33,13 @@ step / loss library / eval paths run unchanged and trajectories match the
 single-device step exactly (the pipeline reorders no arithmetic within a
 microbatch; microbatches are concatenated, not reduced).
 
+Hybrid data x pipeline parallelism costs no extra code: shard_map here is
+manual over 'pipe' ONLY, so on a ('data', 'pipe') mesh
+(``get_mesh_pipe(pp, dp=...)``) GSPMD keeps the microbatch rows sharded
+over 'data' straight through the pipeline and the DP step builders
+(parallel/mesh.py) accept the PP model unchanged — their gradient psum
+spans the data axis around the pipe schedule (test_pp.py hybrid test).
+
 Constraints (asserted loudly): n_layers % pipe == 0, batch % n_micro == 0,
 p_dropout == 0 (the reference family default — per-block dropout keys
 would have to travel with the microbatches).
@@ -49,12 +56,19 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..models.transformer import _block_full
 
 
-def get_mesh_pipe(pp, devices=None):
-    """1-D Mesh(('pipe',)) over the first ``pp`` devices. Stage order
-    follows device order so each hand-off is one ICI hop."""
+def get_mesh_pipe(pp, dp=1, devices=None):
+    """Mesh with a 'pipe' axis over the first ``dp * pp`` devices.
+
+    dp == 1: 1-D Mesh(('pipe',)). dp > 1: 2-D Mesh(('data', 'pipe')) for
+    hybrid data x pipeline parallelism — 'pipe' is fastest-varying so each
+    stage hand-off is one ICI hop, and the gradient psum spans the slower
+    'data' axis (same layout rule as tp.get_mesh_2d)."""
     devices = devices if devices is not None else jax.devices()
-    assert len(devices) >= pp, f"need {pp} devices, have {len(devices)}"
-    return Mesh(np.array(devices[:pp]), ("pipe",))
+    n = dp * pp
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    if dp == 1:
+        return Mesh(np.array(devices[:pp]), ("pipe",))
+    return Mesh(np.array(devices[:n]).reshape(dp, pp), ("data", "pipe"))
 
 
 def _stack_blocks(blocks, n_stages):
@@ -133,9 +147,13 @@ def make_blocks_apply(mesh, n_heads, n_micro=None):
                 jnp.where(idx == S - 1, outs, jnp.zeros_like(outs)),
                 "pipe")
 
+        # manual ONLY over 'pipe': on a hybrid ('data', 'pipe') mesh the
+        # batch dims stay in GSPMD's hands, so the same schedule runs
+        # data-sharded microbatches without any code change
         out = jax.shard_map(pipe, mesh=mesh,
                             in_specs=(P("pipe"), P(), P()),
-                            out_specs=P())(stacked, xm, maskm)
+                            out_specs=P(), axis_names={"pipe"})(
+                                stacked, xm, maskm)
         return out.reshape(B, *x.shape[1:])
 
     return blocks_apply

@@ -106,6 +106,33 @@ def test_pp_train_step_trajectory_matches():
     assert max_leaf_diff(p_ref, p_pp) < 2e-3
 
 
+def test_pp_hybrid_with_data_parallel():
+    """dp=4 x pp=2 on the 8-device mesh: the PP model drops into the DP
+    train step builder (parallel/mesh.py) unchanged — shard_map is manual
+    over 'pipe' only, so GSPMD keeps sharding the microbatch rows over
+    'data' and the gradient psum spans the data axis as usual."""
+    cfg, model, params, rf = pp_setup()
+    text = rand_text(jax.random.PRNGKey(2), 8)
+    key = jax.random.PRNGKey(3)
+
+    step, optimizer = make_train_step(model, cfg.vae, cfg.losses, rf,
+                                      donate=False)
+    p1, _, m1 = step(params, optimizer.init(params), key, text,
+                     jnp.asarray(0, jnp.int32))
+
+    mesh = parallel.get_mesh_pipe(2, dp=4)
+    ppm = parallel.make_pp_model(model, mesh)
+    dp_step, dp_opt = parallel.make_dp_train_step(
+        ppm, cfg.vae, cfg.losses, rf, mesh, donate=False)
+    p2, _, m2 = dp_step(parallel.replicate(mesh, params),
+                        parallel.replicate(mesh, dp_opt.init(params)),
+                        key, parallel.shard_batch(mesh, text),
+                        jnp.asarray(0, jnp.int32))
+    assert abs(float(m1["L_vae"]) - float(m2["L_vae"])) < 1e-4
+    # Adam amplifies reduction-order noise (see trajectory test docstring)
+    assert max_leaf_diff(p1, p2) < 2e-3
+
+
 def test_pp_validation_errors():
     cfg, model, params, _ = pp_setup(n_layers=4)
     with pytest.raises(AssertionError, match="not divisible"):
