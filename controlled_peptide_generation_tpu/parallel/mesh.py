@@ -11,8 +11,9 @@ Model size (~0.5M params) makes tensor/pipeline parallelism counter-
 productive for the GRU family; DP for training and embarrassingly-parallel
 sharding for CLaSS rejection rounds are its two meaningful axes. The
 transformer stretch family additionally supports Megatron-style tensor
-parallelism over a (data, model) mesh — see parallel/tp.py. Pipeline
-parallelism remains a documented non-goal (2-layer blocks).
+parallelism over a (data, model) mesh (parallel/tp.py) and GPipe pipeline
+parallelism over a ('pipe',) or hybrid ('data', 'pipe') mesh
+(parallel/pp.py).
 """
 
 from functools import partial
@@ -138,6 +139,66 @@ def make_dp_train_scan(model, cfgv, cfg_losses, rf_basis, mesh, unroll,
         return params, opt_state, last
 
     return train_chunk, optimizer
+
+
+def make_dp_full_step(model, cfgf, cfg_losses, rf_basis, mesh,
+                      axis="data", donate=True):
+    """Data-parallel phase-2 (controlled-generation) iteration: the same
+    three sub-updates as train_full.make_full_step, with both minibatches
+    (unlabeled text + labeled rows) sharded over the mesh and each
+    sub-update's gradient reduction compiled to an XLA psum. The
+    generator-attribute stage's prior samples are global arrays, so every
+    sampled sentence matches the single-device iteration bit for bit."""
+    from ..train.train_full import make_full_step
+
+    _, opts, one_iter = make_full_step(model, cfgf, cfg_losses, rf_basis,
+                                       donate=False)
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(axis))
+
+    full_step = partial(
+        jax.jit,
+        in_shardings=(repl, repl, repl, repl, repl,
+                      batch_sh, batch_sh, batch_sh, repl),
+        out_shardings=(repl,) * 5,
+        donate_argnums=(0, 1, 2, 3) if donate else ())(one_iter)
+    return full_step, opts, one_iter
+
+
+def make_dp_full_scan(model, cfgf, cfg_losses, rf_basis, mesh, unroll,
+                      axis="data", donate=True):
+    """``unroll`` data-parallel phase-2 iterations in ONE jitted program
+    (batch stacks sharded P(None, axis); RNG streams identical to the
+    step-by-step DP path)."""
+    _, opts, one_iter = make_dp_full_step(model, cfgf, cfg_losses,
+                                          rf_basis, mesh, axis=axis,
+                                          donate=False)
+    repl = NamedSharding(mesh, P())
+    stack_sh = NamedSharding(mesh, P(None, axis))
+
+    @partial(jax.jit,
+             in_shardings=(repl, repl, repl, repl, repl,
+                           stack_sh, stack_sh, stack_sh, repl),
+             out_shardings=(repl,) * 5,
+             donate_argnums=(0, 1, 2, 3) if donate else ())
+    def full_chunk(params, oE, oG, oC, key, texts, lab_texts, lab_ys, it0):
+        def body(carry, inp):
+            params, oE, oG, oC = carry
+            text, lab_text, lab_y, i = inp
+            it = it0 + i
+            params, oE, oG, oC, metrics = one_iter(
+                params, oE, oG, oC, jax.random.fold_in(key, it),
+                text, lab_text, lab_y, it)
+            return (params, oE, oG, oC), metrics
+
+        (params, oE, oG, oC), metrics = jax.lax.scan(
+            body, (params, oE, oG, oC),
+            (texts, lab_texts, lab_ys,
+             jnp.arange(unroll, dtype=jnp.int32)))
+        last = jax.tree.map(lambda m: m[-1], metrics)
+        return params, oE, oG, oC, last
+
+    return full_chunk, opts
 
 
 # (id(mesh), id(model), kind, n, ...) -> (jitted fn, mesh, model).

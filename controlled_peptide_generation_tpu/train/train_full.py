@@ -189,8 +189,26 @@ def train_full(cfg, model, dataset, params, logger=None,
     k_rf, k_steps = jax.random.split(key)
     rf_basis = L.init_rf_basis(k_rf, model.z_dim, cfg.losses.wae_mmd.rf_dim)
 
-    full_step, opts, _ = make_full_step(model, cfgf, cfg.losses, rf_basis,
-                                        donate=cfg.hw.donate_state)
+    # data parallelism over a device mesh when hw.dp != 1 (0 = all
+    # devices) — same selection policy as the phase-1 loop (train_vae)
+    n_dp = int(cfg.hw.get("dp", 1))
+    if n_dp == 0:
+        n_dp = len(jax.devices())
+    mesh = None
+    if n_dp > 1:
+        from .. import parallel
+        assert cfgf.batch_size % n_dp == 0, (
+            f"batch_size {cfgf.batch_size} must divide over {n_dp} devices")
+        mesh = parallel.get_mesh(n_dp, cfg.hw.get("mesh_axis", "data"))
+        full_step, opts, _ = parallel.make_dp_full_step(
+            model, cfgf, cfg.losses, rf_basis, mesh,
+            axis=cfg.hw.get("mesh_axis", "data"),
+            donate=cfg.hw.donate_state)
+        log.info("data-parallel phase-2 training over %d devices", n_dp)
+    else:
+        full_step, opts, _ = make_full_step(model, cfgf, cfg.losses,
+                                            rf_basis,
+                                            donate=cfg.hw.donate_state)
     oE, oG, oC = (o.init(params) for o in opts)
 
     # clamp to the largest boundary-aligned chunk width (train_vae policy)
@@ -199,13 +217,25 @@ def train_full(cfg, model, dataset, params, logger=None,
                             int(cfgf.cheaplog_every),
                             int(cfgf.expsvlog_every))
     if unroll > 1:
-        full_chunk, _ = make_full_scan(model, cfgf, cfg.losses, rf_basis,
-                                       unroll, donate=cfg.hw.donate_state)
+        if mesh is not None:
+            from .. import parallel
+            full_chunk, _ = parallel.make_dp_full_scan(
+                model, cfgf, cfg.losses, rf_basis, mesh, unroll,
+                axis=cfg.hw.get("mesh_axis", "data"),
+                donate=cfg.hw.donate_state)
+        else:
+            full_chunk, _ = make_full_scan(model, cfgf, cfg.losses,
+                                           rf_basis, unroll,
+                                           donate=cfg.hw.donate_state)
 
     if cfg.loadpath:
         params = checkpoints.load(cfg.loadpath, {"params": params},
                                   strict=False)["params"]
         log.info("Loaded params from %s", cfg.loadpath)
+    if mesh is not None:
+        from .. import parallel
+        params = parallel.replicate(mesh, params)
+        oE, oG, oC = (parallel.replicate(mesh, o) for o in (oE, oG, oC))
 
     logger = logger or tblog._default_logger
     attr_name = dataset.attributes[0][0]

@@ -163,3 +163,103 @@ def test_full_phase_cli(tmp_path):
     with open(cfg.full.samez_samples_path) as fh:
         samez = fh.read()
     assert "c=0:" in samez and "c=1:" in samez
+
+
+def test_dp_full_step_matches_single_device(setup):
+    """parallel.make_dp_full_step over the 4-device mesh must reproduce
+    the single-device phase-2 iteration (same three sub-updates; the psum
+    reduction is the only arithmetic reorder)."""
+    from controlled_peptide_generation_tpu import parallel
+
+    cfg, model, params, rf = setup
+    mesh = parallel.get_mesh(4)
+    step1, opts1, _ = make_full_step(model, cfg.full, cfg.losses, rf,
+                                     donate=False)
+    step2, opts2, _ = parallel.make_dp_full_step(
+        model, cfg.full, cfg.losses, rf, mesh, donate=False)
+
+    key = jax.random.PRNGKey(11)
+    text, _ = make_batch(jax.random.fold_in(key, 1), 8)
+    lab_text, lab_y = make_batch(jax.random.fold_in(key, 2), 8)
+
+    p1 = params
+    oE1, oG1, oC1 = (o.init(params) for o in opts1)
+    p2 = parallel.replicate(mesh, params)
+    oE2, oG2, oC2 = (parallel.replicate(mesh, o.init(params))
+                     for o in opts2)
+    for it in range(2):
+        k = jax.random.fold_in(key, it)
+        ita = jnp.asarray(it, jnp.int32)
+        p1, oE1, oG1, oC1, m1 = step1(p1, oE1, oG1, oC1, k, text,
+                                      lab_text, lab_y, ita)
+        p2, oE2, oG2, oC2, m2 = step2(p2, oE2, oG2, oC2, k, text,
+                                      lab_text, lab_y, ita)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    for k_ in ("L_vae", "L_attr_c", "L_clf_sup", "clf_acc"):
+        assert np.isclose(float(m1[k_]), float(m2[k_]),
+                          rtol=2e-4, atol=2e-5), k_
+
+
+def test_dp_full_scan_matches_dp_step(setup):
+    """The DP phase-2 chunk = N DP steps (RNG/batch order identical)."""
+    from controlled_peptide_generation_tpu import parallel
+
+    cfg, model, params, rf = setup
+    mesh = parallel.get_mesh(4)
+    unroll = 3
+    step, opts, _ = parallel.make_dp_full_step(
+        model, cfg.full, cfg.losses, rf, mesh, donate=False)
+    chunk, _ = parallel.make_dp_full_scan(
+        model, cfg.full, cfg.losses, rf, mesh, unroll, donate=False)
+
+    key = jax.random.PRNGKey(12)
+    texts, lab_texts, lab_ys = [], [], []
+    for it in range(unroll):
+        k = jax.random.fold_in(key, 100 + it)
+        texts.append(make_batch(jax.random.fold_in(k, 1), 8)[0])
+        lt, ly = make_batch(jax.random.fold_in(k, 2), 8)
+        lab_texts.append(lt)
+        lab_ys.append(ly)
+
+    p1 = parallel.replicate(mesh, params)
+    oE1, oG1, oC1 = (parallel.replicate(mesh, o.init(params))
+                     for o in opts)
+    for it in range(unroll):
+        p1, oE1, oG1, oC1, m1 = step(
+            p1, oE1, oG1, oC1, jax.random.fold_in(key, it),
+            texts[it], lab_texts[it], lab_ys[it],
+            jnp.asarray(it, jnp.int32))
+
+    oE2, oG2, oC2 = (parallel.replicate(mesh, o.init(params))
+                     for o in opts)
+    p2, oE2, oG2, oC2, m2 = chunk(
+        parallel.replicate(mesh, params), oE2, oG2, oC2, key,
+        jnp.stack(texts), jnp.stack(lab_texts), jnp.stack(lab_ys),
+        jnp.asarray(0, jnp.int32))
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_full_phase_cli_dp(tmp_path):
+    """main.py --phase -1 with hw.dp=5: both phases run data-parallel on
+    the virtual mesh and produce the full artifact battery. (dp=5 because
+    the tiny profile pins batch_size=5 after flag parsing — one row per
+    device.)"""
+    import main as main_mod
+    argv = ["--tiny", "1", "--dataset", "synthetic", "--runname", "ph2dp",
+            "--phase", "-1", "--hw.dp", "5",
+            "--full.n_iter", "20", "--full.cheaplog_every", "10",
+            "--full.expsvlog_every", "20",
+            "--savepath_toplevel", str(tmp_path / "out"),
+            "--tb_toplevel", str(tmp_path / "tb"),
+            "--datapath", str(tmp_path / "data")]
+    cfg = main_mod.main(argv)
+    import os
+    assert os.path.exists(cfg.full.gen_samples_path)
+    with open(cfg.full.gen_samples_path) as fh:
+        assert "label:" in fh.read()
