@@ -299,6 +299,12 @@ def default_config():
     # TPU execution knobs (new in the rebuild; no reference counterpart)
     cfg.hw = Bunch(
         dp=1,                 # data-parallel devices; 0 = all visible
+        tp=1,                 # tensor-parallel degree (transformer family
+                              # only; Megatron sharding, parallel/tp.py).
+                              # Composes with dp over a (data, model) mesh
+        pp=1,                 # pipeline-parallel stages (transformer
+                              # family only; GPipe, parallel/pp.py).
+                              # Composes with dp over a (data, pipe) mesh
         mesh_axis="data",
         donate_state=True,    # donate train-state buffers to the jitted step
         unroll=50,            # optimizer steps per device dispatch (train).

@@ -88,16 +88,19 @@ def make_blocks_apply(mesh, n_heads, n_micro=None):
     pipe degree); ``x``: [B, S_len, D] activations; ``mask``: attention
     mask broadcastable to [B, H, S_len, S_len]. Default microbatch count
     is the stage count (the minimum that keeps every stage busy in the
-    steady state)."""
+    steady state); when the batch does not divide, the count adapts to
+    gcd(B, n_micro) — the schedule is correct for ANY microbatch count,
+    fewer just means a bigger bubble (down to M=1 = purely sequential
+    stages), so odd CLI batch sizes degrade throughput, never error."""
     S = mesh.shape["pipe"]
-    M = int(n_micro) if n_micro else S
     ring = [(i, (i + 1) % S) for i in range(S)]
 
     def blocks_apply(blocks, x, mask):
+        import math
         L = len(blocks)
         assert L % S == 0, f"n_layers {L} not divisible by pipe={S}"
         B = x.shape[0]
-        assert B % M == 0, f"batch {B} not divisible by n_micro={M}"
+        M = math.gcd(B, int(n_micro) if n_micro else S)
         stacked, per = _stack_blocks(blocks, S)
         mask_b = jnp.broadcast_to(mask, (B,) + mask.shape[1:])
         xm = x.reshape(M, B // M, *x.shape[1:])

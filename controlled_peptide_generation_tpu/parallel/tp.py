@@ -154,13 +154,17 @@ def make_tp_train_step(model, cfgv, cfg_losses, rf_basis, mesh,
 
     n_heads = (model.dec_tfm_args or model.enc_tfm_args).get("n_heads", 4)
 
-    def init_state(params):
+    def init_state(params, opt_state=None):
+        """Commit (params, opt_state) onto the mesh under the TP specs.
+        opt_state=None initializes fresh moments; pass a loaded state
+        (checkpoint resume) to shard it instead."""
         specs = transformer_param_specs(params, n_heads=n_heads, tp=tp)
         sharded = shard_tp(mesh, params, specs)
         # adam moments are zeros_like(params) with NO dataflow from the
         # inputs, so GSPMD cannot propagate shardings into them — commit
         # them explicitly under the param specs
-        opt_state = optimizer.init(params)
+        if opt_state is None:
+            opt_state = optimizer.init(params)
         opt_state = shard_tp(mesh, opt_state,
                              _opt_state_specs(opt_state, specs))
         return sharded, opt_state

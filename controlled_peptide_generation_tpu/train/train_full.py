@@ -189,17 +189,31 @@ def train_full(cfg, model, dataset, params, logger=None,
     k_rf, k_steps = jax.random.split(key)
     rf_basis = L.init_rf_basis(k_rf, model.z_dim, cfg.losses.wae_mmd.rf_dim)
 
-    # data parallelism over a device mesh when hw.dp != 1 (0 = all
-    # devices) — same selection policy as the phase-1 loop (train_vae)
+    # parallelism selection mirrors the phase-1 loop (train_vae): hw.dp
+    # for any family, hw.pp (GPipe, transformer) composing with dp over a
+    # (data, pipe) mesh. hw.tp stays phase-1-only (three optimizers would
+    # each need TP-spec'd moment sharding — not wired).
     n_dp = int(cfg.hw.get("dp", 1))
     if n_dp == 0:
         n_dp = len(jax.devices())
+    n_pp = int(cfg.hw.get("pp", 1) or 1)
     mesh = None
-    if n_dp > 1:
+    if n_pp > 1:
+        from .. import parallel
+        pipe_mesh = parallel.get_mesh_pipe(n_pp,
+                                           dp=n_dp if n_dp > 1 else 1)
+        model = parallel.make_pp_model(model, pipe_mesh)
+        if n_dp > 1:
+            mesh = pipe_mesh
+        log.info("pipeline-parallel phase-2 training: pp=%d, dp=%d",
+                 n_pp, max(n_dp, 1))
+    elif n_dp > 1:
+        from .. import parallel
+        mesh = parallel.get_mesh(n_dp, cfg.hw.get("mesh_axis", "data"))
+    if mesh is not None:
         from .. import parallel
         assert cfgf.batch_size % n_dp == 0, (
             f"batch_size {cfgf.batch_size} must divide over {n_dp} devices")
-        mesh = parallel.get_mesh(n_dp, cfg.hw.get("mesh_axis", "data"))
         full_step, opts, _ = parallel.make_dp_full_step(
             model, cfgf, cfg.losses, rf_basis, mesh,
             axis=cfg.hw.get("mesh_axis", "data"),

@@ -267,12 +267,50 @@ def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
         rf_basis = L.init_rf_basis(k_rf, model.z_dim,
                                    cfg.losses.wae_mmd.rf_dim)
 
-    # data parallelism over a device mesh when hw.dp != 1 (0 = all devices)
+    # parallelism over a device mesh: hw.dp (any family; 0 = all devices),
+    # hw.tp (transformer, Megatron over a (data, model) mesh), hw.pp
+    # (transformer, GPipe over a (data, pipe) mesh). tp/pp compose with dp
     n_dp = int(cfg.hw.get("dp", 1))
     if n_dp == 0:
         n_dp = len(jax.devices())
+    n_tp = int(cfg.hw.get("tp", 1) or 1)
+    n_pp = int(cfg.hw.get("pp", 1) or 1)
+    assert not (n_tp > 1 and n_pp > 1), (
+        "hw.tp and hw.pp are mutually exclusive (no 3D mesh support)")
     mesh = None
-    if n_dp > 1:
+    tp_init_state = None
+    if n_tp > 1:
+        from .. import parallel
+        dp_eff = max(n_dp, 1)
+        assert cfgv.batch_size % dp_eff == 0, (
+            f"batch_size {cfgv.batch_size} must divide over {dp_eff} "
+            f"data-parallel devices")
+        mesh = parallel.get_mesh_2d(dp_eff, n_tp)
+        train_step, optimizer, tp_init_state = parallel.make_tp_train_step(
+            model, cfgv, cfg.losses, rf_basis, mesh,
+            donate=cfg.hw.donate_state)
+        log.info("tensor-parallel training: (data=%d, model=%d) mesh",
+                 dp_eff, n_tp)
+    elif n_pp > 1:
+        from .. import parallel
+        pipe_mesh = parallel.get_mesh_pipe(n_pp,
+                                           dp=n_dp if n_dp > 1 else 1)
+        model = parallel.make_pp_model(model, pipe_mesh)
+        if n_dp > 1:
+            assert cfgv.batch_size % n_dp == 0, (
+                f"batch_size {cfgv.batch_size} must divide over {n_dp} "
+                f"devices")
+            mesh = pipe_mesh
+            train_step, optimizer = parallel.make_dp_train_step(
+                model, cfgv, cfg.losses, rf_basis, mesh,
+                donate=cfg.hw.donate_state)
+        else:
+            train_step, optimizer = make_train_step(
+                model, cfgv, cfg.losses, rf_basis,
+                donate=cfg.hw.donate_state)
+        log.info("pipeline-parallel training: pp=%d, dp=%d", n_pp,
+                 max(n_dp, 1))
+    elif n_dp > 1:
         from .. import parallel
         assert cfgv.batch_size % n_dp == 0, (
             f"batch_size {cfgv.batch_size} must divide over {n_dp} devices")
@@ -294,7 +332,10 @@ def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
         state = checkpoints.load(cfg.loadpath, state_tpl, strict=False)
         params, opt_state = state["params"], state["opt"]
         log.info("Loaded train state from %s", cfg.loadpath)
-    if mesh is not None:
+    if tp_init_state is not None:
+        # commit under the Megatron PartitionSpecs (loaded moments kept)
+        params, opt_state = tp_init_state(params, opt_state)
+    elif mesh is not None:
         from .. import parallel
         params = parallel.replicate(mesh, params)
         opt_state = parallel.replicate(mesh, opt_state)
@@ -315,6 +356,10 @@ def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
                             int(cfgv.expsvlog_every))
     if rf_basis is None:
         unroll = 1   # per-step basis resampling: no chunking
+    if tp_init_state is not None:
+        # no TP scan builder: the DP chunk's replicated in_shardings would
+        # silently undo the Megatron partitioning
+        unroll = 1
     if unroll > 1:
         if mesh is not None:
             from .. import parallel

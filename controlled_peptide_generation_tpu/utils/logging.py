@@ -128,19 +128,37 @@ class DeferredFetch:
         if force or len(self.pending) >= self.flush_every:
             self.flush()
 
+    # jitted stacker (lists are pytrees; retraces only per entry count /
+    # shapes). Jit rather than eager ops: stacking scalars that are
+    # replicated over a device mesh through the EAGER dispatch path can
+    # hard-abort jaxlib when the process has run programs on differently
+    # sized meshes (observed: single-device phase run then a dp=5 run in
+    # one pytest process, SIGABRT in broadcast_in_dim); the compiled path
+    # handles the mixed layouts, and one program = one fetch either way.
+    _stack = None
+
     def flush(self):
         if not self.pending:
             return
+        import jax
         import jax.numpy as jnp
         import numpy as np
+        if DeferredFetch._stack is None:
+            # the float32 cast happens INSIDE the program too — any eager
+            # op on the mesh-replicated scalars would hit the same abort
+            DeferredFetch._stack = jax.jit(
+                lambda sc, ex: (jnp.stack(
+                    [jnp.stack([jnp.asarray(x, jnp.float32) for x in r])
+                     for r in sc]),
+                    [jnp.stack(col) for col in ex]))
         korder = sorted(self.pending[0][1])
-        rows = np.asarray(jnp.stack(
-            [jnp.stack([m[k] for k in korder])
-             for _, m, _ in self.pending]))
         n_extras = len(self.pending[0][2])
-        extras_np = [np.asarray(jnp.stack([e[i] for _, _, e in
-                                           self.pending]))
-                     for i in range(n_extras)]
+        scalars = [[m[k] for k in korder] for _, m, _ in self.pending]
+        extras = [[e[i] for _, _, e in self.pending]
+                  for i in range(n_extras)]
+        rows_d, extras_d = DeferredFetch._stack(scalars, extras)
+        rows = np.asarray(rows_d)
+        extras_np = [np.asarray(x) for x in extras_d]
         for j, (meta, _, _) in enumerate(self.pending):
             vals = dict(zip(korder, map(float, rows[j])))
             self.sink(meta, vals, *(ex[j] for ex in extras_np))

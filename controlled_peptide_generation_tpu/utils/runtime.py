@@ -22,6 +22,15 @@ def setup(cache_dir=None):
 
     cache_dir = cache_dir or DEFAULT_CACHE_DIR
     try:
+        # CPU-only processes skip the cache: XLA:CPU serializes
+        # AOT-compiled executables keyed to the COMPILE machine's CPU
+        # features, and this containerized environment migrates across
+        # hosts — loading a mismatched entry can SIGILL (observed as a
+        # hard interpreter crash in CPU pytest runs). CPU compiles are
+        # seconds anyway; the cache's whole value is the minutes-level
+        # remote TPU compile service.
+        if jax.default_backend() == "cpu":
+            return
         if jax.config.jax_compilation_cache_dir is None:
             os.makedirs(cache_dir, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache_dir)

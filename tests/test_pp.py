@@ -144,11 +144,38 @@ def test_pp_validation_errors():
         parallel.make_pp_model(bad, parallel.get_mesh_pipe(2))
 
 
-def test_pp_batch_divisibility_asserts():
+def test_pp_adapts_microbatch_count_to_odd_batches():
+    """A batch that doesn't divide the requested microbatch count adapts
+    to gcd(B, M) instead of erroring — same outputs, bigger bubble."""
     _, model, params, _ = pp_setup()
     ppm = parallel.make_pp_model(model, parallel.get_mesh_pipe(4),
                                  n_micro=4)
-    text = rand_text(jax.random.PRNGKey(6), 6)   # 6 % 4 != 0
-    with pytest.raises(AssertionError, match="not divisible"):
-        ppm.forward(params, jax.random.PRNGKey(7), text, q_c="prior",
-                    sample_z=1, train=True)
+    for B in (6, 5):   # gcd(6,4)=2 microbatches; gcd(5,4)=1 (sequential)
+        text = rand_text(jax.random.PRNGKey(6), B)
+        key = jax.random.PRNGKey(7)
+        logits = model.forward(params, key, text, q_c="prior",
+                               sample_z=1, train=True)[2]
+        logits_pp = ppm.forward(params, key, text, q_c="prior",
+                                sample_z=1, train=True)[2]
+        assert float(jnp.abs(logits - logits_pp).max()) < 1e-5
+
+
+def test_pp_cli_end_to_end(tmp_path):
+    """main.py --hw.pp 2: phase-1 trains the transformer family through
+    the GPipe schedule selected purely via CLI flags."""
+    import os
+    import main as main_mod
+
+    argv = ["--tiny", "1", "--dataset", "synthetic", "--runname", "tfmpp",
+            "--phase", "1", "--hw.pp", "2", "--hw.unroll", "1",
+            "--model.E_args.E_class", "transformer",
+            "--model.G_args.G_class", "transformer",
+            "--model.E_args.T_args.d_model", "32",
+            "--model.E_args.T_args.d_ff", "64",
+            "--model.G_args.T_args.d_model", "32",
+            "--model.G_args.T_args.d_ff", "64",
+            "--savepath_toplevel", str(tmp_path / "out"),
+            "--tb_toplevel", str(tmp_path / "tb"),
+            "--datapath", str(tmp_path / "data")]
+    cfg = main_mod.main(argv)
+    assert os.path.exists(cfg.vae.gen_samples_path)

@@ -105,3 +105,32 @@ def test_tp_divisibility_validated():
     mesh = parallel.get_mesh_2d(2, 4)
     with pytest.raises(AssertionError):
         parallel.make_tp_train_step(model, cfg.vae, cfg.losses, rf, mesh)
+
+
+def test_tp_cli_end_to_end(tmp_path):
+    """main.py --hw.tp 4: phase-1 trains the transformer family with
+    Megatron tensor parallelism selected purely via CLI flags; block
+    weights must come back finite and the run must produce its artifacts."""
+    import os
+    import main as main_mod
+    import numpy as np
+
+    argv = ["--tiny", "1", "--dataset", "synthetic", "--runname", "tfmtp",
+            "--phase", "1", "--hw.tp", "4",
+            "--model.E_args.E_class", "transformer",
+            "--model.G_args.G_class", "transformer",
+            "--model.E_args.T_args.d_model", "32",
+            "--model.E_args.T_args.d_ff", "64",
+            "--model.G_args.T_args.d_model", "32",
+            "--model.G_args.T_args.d_ff", "64",
+            "--savepath_toplevel", str(tmp_path / "out"),
+            "--tb_toplevel", str(tmp_path / "tb"),
+            "--datapath", str(tmp_path / "data")]
+    cfg = main_mod.main(argv)
+    assert os.path.exists(cfg.vae.gen_samples_path)
+    state = np.load(cfg.vae.chkpt_path.format(100), allow_pickle=True)
+    # key-paths like ['params']['dec']['blocks'][0]['qkv']['w']; the
+    # TP-sharded train state must round-trip as finite global arrays
+    assert any("qkv" in k for k in state.files)
+    assert all(np.isfinite(state[k]).all() for k in state.files
+               if np.issubdtype(state[k].dtype, np.floating))
