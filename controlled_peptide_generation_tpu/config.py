@@ -304,7 +304,9 @@ def default_config():
                               # Composes with dp over a (data, model) mesh
         pp=1,                 # pipeline-parallel stages (transformer
                               # family only; GPipe, parallel/pp.py).
-                              # Composes with dp over a (data, pipe) mesh
+                              # Composes with dp over a (data, pipe) mesh;
+                              # tp+pp together select the full 3D
+                              # (data, pipe, model) mesh (parallel.get_mesh_3d)
         mesh_axis="data",
         donate_state=True,    # donate train-state buffers to the jitted step
         unroll=50,            # optimizer steps per device dispatch (train).

@@ -46,6 +46,23 @@ def get_mesh_2d(dp, tp, devices=None):
     return Mesh(np.array(devices[:n]).reshape(dp, tp), ("data", "model"))
 
 
+def get_mesh_3d(dp, pp, tp, devices=None):
+    """Mesh of shape (dp, pp, tp) with axes ('data', 'pipe', 'model').
+
+    Full 3D composition for the transformer family: GPipe stages over
+    'pipe' (parallel/pp.py — manual shard_map over that axis only),
+    Megatron block sharding over 'model' (this module — pure GSPMD
+    specs), gradient psum over 'data'. Axis order follows the scaling
+    playbook: 'model' fastest-varying (per-block TP psums ride
+    neighbouring ICI links), 'pipe' next (one hop per stage hand-off),
+    'data' slowest (gradient psum once per step)."""
+    devices = devices if devices is not None else jax.devices()
+    n = dp * pp * tp
+    assert len(devices) >= n, f"need {n} devices, have {len(devices)}"
+    return Mesh(np.array(devices[:n]).reshape(dp, pp, tp),
+                ("data", "pipe", "model"))
+
+
 # path-suffix -> (weight spec, bias spec); applied inside transformer
 # 'blocks' lists only
 _COL = (P(None, "model"), P("model"))
@@ -184,3 +201,47 @@ def make_tp_train_step(model, cfgv, cfg_losses, rf_basis, mesh,
         return params, opt_state, metrics
 
     return train_step, optimizer, init_state
+
+
+def make_tp_full_step(model, cfgf, cfg_losses, rf_basis, mesh, donate=True):
+    """Phase-2 (three sub-update) step over a mesh with a 'model' axis:
+    same Megatron layout as make_tp_train_step, same iteration body as
+    train_full.make_full_step — the three Adam states each get the
+    param-spec'd moment sharding via the generic _opt_state_specs, so the
+    composition costs no phase-specific communication code. Works on the
+    2D ('data', 'model') and 3D ('data', 'pipe', 'model') meshes alike
+    (pass a make_pp_model-wrapped model for the latter).
+
+    Returns (full_step, (opt_E, opt_G, opt_C), init_state) where
+    init_state(params, opt_states=None) -> (sharded params, sharded
+    (oE, oG, oC))."""
+    from functools import partial
+
+    from ..train.train_full import make_full_step
+
+    tp = mesh.shape.get("model", 1)
+    validate_tp_divisibility(model, tp)
+    _, opts, one_iter = make_full_step(model, cfgf, cfg_losses, rf_basis,
+                                       donate=False)
+    n_heads = (model.dec_tfm_args or model.enc_tfm_args).get("n_heads", 4)
+
+    def init_state(params, opt_states=None):
+        specs = transformer_param_specs(params, n_heads=n_heads, tp=tp)
+        sharded = shard_tp(mesh, params, specs)
+        if opt_states is None:
+            opt_states = tuple(o.init(params) for o in opts)
+        opt_states = tuple(
+            shard_tp(mesh, o, _opt_state_specs(o, specs))
+            for o in opt_states)
+        return sharded, opt_states
+
+    batch_sh = NamedSharding(mesh, P("data"))
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3) if donate else ())
+    def full_step(params, oE, oG, oC, key, text, lab_text, lab_y, it):
+        text = jax.lax.with_sharding_constraint(text, batch_sh)
+        lab_text = jax.lax.with_sharding_constraint(lab_text, batch_sh)
+        lab_y = jax.lax.with_sharding_constraint(lab_y, batch_sh)
+        return one_iter(params, oE, oG, oC, key, text, lab_text, lab_y, it)
+
+    return full_step, opts, init_state

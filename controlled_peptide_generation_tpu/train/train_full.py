@@ -190,15 +190,32 @@ def train_full(cfg, model, dataset, params, logger=None,
     rf_basis = L.init_rf_basis(k_rf, model.z_dim, cfg.losses.wae_mmd.rf_dim)
 
     # parallelism selection mirrors the phase-1 loop (train_vae): hw.dp
-    # for any family, hw.pp (GPipe, transformer) composing with dp over a
-    # (data, pipe) mesh. hw.tp stays phase-1-only (three optimizers would
-    # each need TP-spec'd moment sharding — not wired).
+    # for any family, hw.tp (Megatron) / hw.pp (GPipe) for the transformer
+    # family, tp+pp composing into the 3D ('data', 'pipe', 'model') mesh.
     n_dp = int(cfg.hw.get("dp", 1))
     if n_dp == 0:
         n_dp = len(jax.devices())
+    n_tp = int(cfg.hw.get("tp", 1) or 1)
     n_pp = int(cfg.hw.get("pp", 1) or 1)
     mesh = None
-    if n_pp > 1:
+    tp_init_state = None
+    if n_tp > 1:
+        from .. import parallel
+        dp_eff = max(n_dp, 1)
+        assert cfgf.batch_size % dp_eff == 0, (
+            f"batch_size {cfgf.batch_size} must divide over {dp_eff} "
+            f"data-parallel devices")
+        if n_pp > 1:
+            tp_mesh = parallel.get_mesh_3d(dp_eff, n_pp, n_tp)
+            model = parallel.make_pp_model(model, tp_mesh)
+        else:
+            tp_mesh = parallel.get_mesh_2d(dp_eff, n_tp)
+        full_step, opts, tp_init_state = parallel.make_tp_full_step(
+            model, cfgf, cfg.losses, rf_basis, tp_mesh,
+            donate=cfg.hw.donate_state)
+        log.info("tensor-parallel phase-2 training: (data=%d%s, model=%d) "
+                 "mesh", dp_eff, f", pipe={n_pp}" if n_pp > 1 else "", n_tp)
+    elif n_pp > 1:
         from .. import parallel
         pipe_mesh = parallel.get_mesh_pipe(n_pp,
                                            dp=n_dp if n_dp > 1 else 1)
@@ -230,6 +247,10 @@ def train_full(cfg, model, dataset, params, logger=None,
     unroll = aligned_unroll(int(cfg.hw.get("unroll", 1) or 1),
                             int(cfgf.cheaplog_every),
                             int(cfgf.expsvlog_every))
+    if tp_init_state is not None:
+        # no TP scan builder: the DP chunk's replicated in_shardings would
+        # silently undo the Megatron partitioning (train_vae policy)
+        unroll = 1
     if unroll > 1:
         if mesh is not None:
             from .. import parallel
@@ -246,7 +267,10 @@ def train_full(cfg, model, dataset, params, logger=None,
         params = checkpoints.load(cfg.loadpath, {"params": params},
                                   strict=False)["params"]
         log.info("Loaded params from %s", cfg.loadpath)
-    if mesh is not None:
+    if tp_init_state is not None:
+        # commit under the Megatron PartitionSpecs (moments spec'd too)
+        params, (oE, oG, oC) = tp_init_state(params, (oE, oG, oC))
+    elif mesh is not None:
         from .. import parallel
         params = parallel.replicate(mesh, params)
         oE, oG, oC = (parallel.replicate(mesh, o) for o in (oE, oG, oC))

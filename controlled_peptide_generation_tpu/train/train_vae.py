@@ -269,14 +269,13 @@ def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
 
     # parallelism over a device mesh: hw.dp (any family; 0 = all devices),
     # hw.tp (transformer, Megatron over a (data, model) mesh), hw.pp
-    # (transformer, GPipe over a (data, pipe) mesh). tp/pp compose with dp
+    # (transformer, GPipe over a (data, pipe) mesh). All three compose:
+    # tp+pp together select the full 3D ('data', 'pipe', 'model') mesh
     n_dp = int(cfg.hw.get("dp", 1))
     if n_dp == 0:
         n_dp = len(jax.devices())
     n_tp = int(cfg.hw.get("tp", 1) or 1)
     n_pp = int(cfg.hw.get("pp", 1) or 1)
-    assert not (n_tp > 1 and n_pp > 1), (
-        "hw.tp and hw.pp are mutually exclusive (no 3D mesh support)")
     mesh = None
     tp_init_state = None
     if n_tp > 1:
@@ -285,12 +284,20 @@ def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
         assert cfgv.batch_size % dp_eff == 0, (
             f"batch_size {cfgv.batch_size} must divide over {dp_eff} "
             f"data-parallel devices")
-        mesh = parallel.get_mesh_2d(dp_eff, n_tp)
+        if n_pp > 1:
+            # 3D: GPipe stages over 'pipe' (manual shard_map) + Megatron
+            # specs over 'model' + batch/grad-psum over 'data' — the PP
+            # model drops into the TP step unchanged because shard_map is
+            # manual over 'pipe' ONLY, leaving 'model' and 'data' to GSPMD
+            mesh = parallel.get_mesh_3d(dp_eff, n_pp, n_tp)
+            model = parallel.make_pp_model(model, mesh)
+        else:
+            mesh = parallel.get_mesh_2d(dp_eff, n_tp)
         train_step, optimizer, tp_init_state = parallel.make_tp_train_step(
             model, cfgv, cfg.losses, rf_basis, mesh,
             donate=cfg.hw.donate_state)
-        log.info("tensor-parallel training: (data=%d, model=%d) mesh",
-                 dp_eff, n_tp)
+        log.info("tensor-parallel training: (data=%d%s, model=%d) mesh",
+                 dp_eff, f", pipe={n_pp}" if n_pp > 1 else "", n_tp)
     elif n_pp > 1:
         from .. import parallel
         pipe_mesh = parallel.get_mesh_pipe(n_pp,

@@ -134,3 +134,84 @@ def test_tp_cli_end_to_end(tmp_path):
     assert any("qkv" in k for k in state.files)
     assert all(np.isfinite(state[k]).all() for k in state.files
                if np.issubdtype(state[k].dtype, np.floating))
+
+
+def full_cfg(cfg):
+    cfg.full.update(cfg.shared)
+    cfg.full.s_iter = 0
+    cfg.full.beta.start.iter = 0
+    cfg.full.beta.end.iter = 10
+    cfg.full.softmax_temp.start.iter = 0
+    cfg.full.softmax_temp.end.iter = 10
+    return cfg
+
+
+def test_tp_full_step_matches_single_device():
+    """Phase-2 (three sub-update) TP step == the single-device step on the
+    transformer family, with Megatron-sharded params and moments."""
+    from controlled_peptide_generation_tpu.train.train_full import (
+        make_full_step)
+
+    cfg, model, params, rf = tfm_setup()
+    full_cfg(cfg)
+    text = rand_text(jax.random.PRNGKey(4), 8)
+    lab_text = rand_text(jax.random.PRNGKey(5), 8)
+    lab_y = jnp.array([0, 1, 0, 1, 1, 0, 1, 0], jnp.int32)
+    key = jax.random.PRNGKey(6)
+    it = jnp.asarray(0, jnp.int32)
+
+    step, opts, _ = make_full_step(model, cfg.full, cfg.losses, rf,
+                                   donate=False)
+    o1 = tuple(o.init(params) for o in opts)
+    p1, oE1, oG1, oC1, m1 = step(params, *o1, key, text, lab_text, lab_y,
+                                 it)
+
+    mesh = parallel.get_mesh_2d(2, 4)
+    tp_step, _, init_state = parallel.make_tp_full_step(
+        model, cfg.full, cfg.losses, rf, mesh, donate=False)
+    p_s, os_s = init_state(params)
+    t_s = parallel.shard_batch(mesh, text)
+    lt_s = parallel.shard_batch(mesh, lab_text)
+    ly_s = parallel.shard_batch(mesh, lab_y)
+    p2, oE2, oG2, oC2, m2 = tp_step(p_s, *os_s, key, t_s, lt_s, ly_s, it)
+
+    for k in ("L_vae", "L_attr_c", "L_clf_sup", "clf_acc"):
+        assert abs(float(m1[k]) - float(m2[k])) < 1e-3, k
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        assert jnp.allclose(a, jax.device_get(b), atol=5e-5), (
+            "TP phase-2 step diverged from the single-device step")
+    assert p2["dec"]["blocks"][0]["qkv"]["w"].sharding.spec \
+        == P(None, "model")
+    # each of the three Adam states carries Megatron-sharded moments
+    for o in (oE2, oG2, oC2):
+        mu = o[1][0].mu["dec"]["blocks"][0]["qkv"]["w"]
+        assert mu.sharding.spec == P(None, "model")
+
+    # second step on the updated sharded state runs
+    p3, *_, m3 = tp_step(p2, oE2, oG2, oC2, jax.random.fold_in(key, 1),
+                         t_s, lt_s, ly_s, jnp.asarray(1, jnp.int32))
+    assert float(m3["L_vae"]) > 0
+
+
+def test_tp_full_phase_cli(tmp_path):
+    """main.py --phase -1 --hw.tp 2: BOTH phases train the transformer
+    family tensor-parallel from the CLI (phase 2 = make_tp_full_step)."""
+    import os
+    import main as main_mod
+
+    argv = ["--tiny", "1", "--dataset", "synthetic", "--runname", "tfmtpf",
+            "--phase", "-1", "--hw.tp", "2",
+            "--full.n_iter", "20", "--full.cheaplog_every", "10",
+            "--full.expsvlog_every", "20",
+            "--model.E_args.E_class", "transformer",
+            "--model.G_args.G_class", "transformer",
+            "--model.E_args.T_args.d_model", "32",
+            "--model.E_args.T_args.d_ff", "64",
+            "--model.G_args.T_args.d_model", "32",
+            "--model.G_args.T_args.d_ff", "64",
+            "--savepath_toplevel", str(tmp_path / "out"),
+            "--tb_toplevel", str(tmp_path / "tb"),
+            "--datapath", str(tmp_path / "data")]
+    cfg = main_mod.main(argv)
+    assert os.path.exists(cfg.full.gen_samples_path)
