@@ -308,6 +308,10 @@ def default_config():
                               # tp+pp together select the full 3D
                               # (data, pipe, model) mesh (parallel.get_mesh_3d)
         mesh_axis="data",
+        zero=False,           # ZeRO-1: shard Adam moments 1/dp over the
+                              # data axis (phase-1 DP; parallel/zero.py).
+                              # Trades the unrolled scan for 1/dp optimizer
+                              # memory — for configs that don't fit otherwise
         donate_state=True,    # donate train-state buffers to the jitted step
         unroll=50,            # optimizer steps per device dispatch (train).
                               # Measured on the tunneled v5e (BENCH.md):

@@ -324,10 +324,21 @@ def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
         mesh = parallel.get_mesh(n_dp, cfg.hw.get("mesh_axis", "data"))
         # rf_basis=None (rf_resample) flows through: make_loss_fn then
         # resamples the basis per step, same objective as dp=1
-        train_step, optimizer = parallel.make_dp_train_step(
-            model, cfgv, cfg.losses, rf_basis, mesh,
-            donate=cfg.hw.donate_state)
-        log.info("data-parallel training over %d devices", n_dp)
+        if cfg.hw.get("zero", False):
+            # ZeRO-1: Adam moments sharded 1/dp; same init_state contract
+            # as the TP step, so it rides the tp_init_state plumbing
+            train_step, optimizer, tp_init_state = \
+                parallel.make_zero_train_step(
+                    model, cfgv, cfg.losses, rf_basis, mesh,
+                    axis=cfg.hw.get("mesh_axis", "data"),
+                    donate=cfg.hw.donate_state)
+            log.info("data-parallel training over %d devices "
+                     "(ZeRO-1 sharded optimizer state)", n_dp)
+        else:
+            train_step, optimizer = parallel.make_dp_train_step(
+                model, cfgv, cfg.losses, rf_basis, mesh,
+                donate=cfg.hw.donate_state)
+            log.info("data-parallel training over %d devices", n_dp)
     else:
         train_step, optimizer = make_train_step(
             model, cfgv, cfg.losses, rf_basis, donate=cfg.hw.donate_state)
@@ -364,8 +375,8 @@ def train_vae(cfg, model, dataset, params, logger=None, on_checkpoint=None):
     if rf_basis is None:
         unroll = 1   # per-step basis resampling: no chunking
     if tp_init_state is not None:
-        # no TP scan builder: the DP chunk's replicated in_shardings would
-        # silently undo the Megatron partitioning
+        # no TP/ZeRO scan builder: the DP chunk's replicated in_shardings
+        # would silently undo the Megatron/ZeRO partitioning
         unroll = 1
     if unroll > 1:
         if mesh is not None:
