@@ -91,7 +91,7 @@ def apply_step(params, emb_params, token_hard, token_soft, z, c, h,
     if token_soft is not None:
         gi = token_soft @ tok_table + zc_gi
     else:
-        gi = tok_table[token_hard] + zc_gi
+        gi = nn.table_lookup(tok_table, token_hard) + zc_gi
     h_new = gru_cell_pregated(params["gru"], gi, h)
     if key is None:
         key = jax.random.PRNGKey(0)

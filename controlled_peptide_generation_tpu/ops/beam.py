@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.vocab import PAD_IDX, START_IDX, EOS_IDX
+from . import nn
 
 NEG = -1e20
 
@@ -44,7 +45,7 @@ class BeamState(NamedTuple):
     fin_cnt: jnp.ndarray   # [B] finished-hypothesis count
 
 
-def _advance_one(logp, scores, prev, adv, *, K, V, min_length):
+def _advance_one(logp, scores, prev, adv, *, K, V, min_length, fast=False):
     """Single-sentence beam advance; vmapped over the batch.
 
     Finished-hypothesis bookkeeping happens OUTSIDE the scan: this only
@@ -71,7 +72,20 @@ def _advance_one(logp, scores, prev, adv, *, K, V, min_length):
     first = jnp.where((k_ix == 0)[:, None], wp, -jnp.inf)
     bs = jnp.where(adv == 0, first, later)
 
-    best, ids = jax.lax.top_k(bs.reshape(K * V), K)
+    # canonicalize signed zeros: top_k's total order ranks +0.0 above
+    # -0.0 while topk_small's argmax treats them equal — mapping -0.0 to
+    # +0.0 on BOTH paths keeps them bit-identical even when a candidate
+    # score is exactly zero (probability-1 token)
+    bs = jnp.where(bs == 0.0, 0.0, bs)
+
+    # top_k lowers to a full stable sort of the [K*V] candidates; the
+    # iterated-argmax form is exact (incl. tie order) and cheaper on TPU
+    # at large beam widths (ops/nn.py topk_small; its >= k finite-entries
+    # precondition holds here — see its docstring)
+    if fast:
+        best, ids = nn.topk_small(bs.reshape(K * V), K)
+    else:
+        best, ids = jax.lax.top_k(bs.reshape(K * V), K)
     prev_k = (ids // V).astype(jnp.int32)
     next_y = (ids % V).astype(jnp.int32)
 
@@ -81,7 +95,7 @@ def _advance_one(logp, scores, prev, adv, *, K, V, min_length):
     return best, next_y, prev_k, adv + 1, mask, eos_top
 
 
-def _backtrace(t, k, ys, ptrs, T):
+def _backtrace(t, k, ys, ptrs, T, fast=False):
     """Walk backpointers from (t, k); returns [T+1] tokens, PAD beyond t.
 
     The walk is a reverse lax.scan EMITTING each token — scattering them
@@ -90,21 +104,28 @@ def _backtrace(t, k, ys, ptrs, T):
     A log-depth associative-scan pointer composition was also tried and
     measured SLOWER: composing [K]-maps means gathers along a 5-wide
     lane-padded axis, which TPUs execute far worse than this short
-    sequential walk.
+    sequential walk. The per-step row is fed through the scan's xs
+    (reversed) so the only dynamic indexing left is the K-wide beam pick,
+    which the fast path lowers as a select chain (ops/nn.py).
     """
-    def body(k_cur, j):
+    sel = nn.select_small if fast else (lambda row, i: row[i])
+    ys_rev = ys[1:][::-1]        # row ys[j + 1] for j = T-1 .. 0
+    ptr_rev = ptrs[::-1]         # row ptrs[j]
+
+    def body(k_cur, inp):
+        j, y_row, p_row = inp
         on = (j + 1) <= t
-        tok = jnp.where(on, ys[j + 1, k_cur], PAD_IDX)
-        k_next = jnp.where(on, ptrs[j, k_cur], k_cur)
+        tok = jnp.where(on, sel(y_row, k_cur), PAD_IDX)
+        k_next = jnp.where(on, sel(p_row, k_cur), k_cur)
         return k_next, tok
 
-    k_fin, toks_rev = jax.lax.scan(body, k,
-                                   jnp.arange(T - 1, -1, -1))
-    return jnp.concatenate([ys[0, k_fin][None], toks_rev[::-1]])
+    k_fin, toks_rev = jax.lax.scan(
+        body, k, (jnp.arange(T - 1, -1, -1), ys_rev, ptr_rev))
+    return jnp.concatenate([sel(ys[0], k_fin)[None], toks_rev[::-1]])
 
 
 def _finalize_one(ys, ptrs, scores, adv, fin_cnt, fin_mask, fin_score,
-                  *, K, n_best, T):
+                  *, K, n_best, T, fast=False):
     """sort_finished(minimum=n_best) + n_best backtraces for one sentence.
 
     fin_mask/fin_score are the [T*K] per-step finish emissions flattened
@@ -124,7 +145,8 @@ def _finalize_one(ys, ptrs, scores, adv, fin_cnt, fin_mask, fin_score,
     k_all = jnp.concatenate([flat % K, i])
     order = jnp.argsort(-keyed, stable=True)[:n_best]
     ts, ks, sc = t_all[order], k_all[order], keyed[order]
-    hyps = jax.vmap(lambda t, k: _backtrace(t, k, ys, ptrs, T))(ts, ks)
+    hyps = jax.vmap(lambda t, k: _backtrace(t, k, ys, ptrs, T,
+                                            fast=fast))(ts, ks)
     return hyps, sc
 
 
@@ -165,8 +187,9 @@ def beam_search(model, params, z, c, beam_size=5, n_best=3, min_length=1,
         fin_cnt=jnp.zeros((B,), jnp.int32),
     )
 
+    fast = nn.fast_gathers_enabled()
     advance = jax.vmap(partial(_advance_one, K=K, V=V,
-                               min_length=min_length))
+                               min_length=min_length, fast=fast))
 
     def step(state, _):
         h_flat = jax.tree.map(
@@ -183,9 +206,13 @@ def beam_search(model, params, z, c, beam_size=5, n_best=3, min_length=1,
             logp, state.scores, state.prev, state.adv)
 
         # reorder hidden along the beam axis by backpointer origin,
-        # per leaf (index broadcast up to the leaf's rank)
+        # per leaf (index broadcast up to the leaf's rank); the dynamic
+        # K-axis gather is latency-bound on TPU — the fast path lowers
+        # it as a K-way select chain
         def reorder(a):
             a = a.reshape(B, K, *a.shape[1:])
+            if fast:
+                return nn.take_small_axis1(a, prev_k)
             idx = prev_k.reshape(B, K, *([1] * (a.ndim - 2)))
             return jnp.take_along_axis(a, idx, axis=1)
 
@@ -223,7 +250,8 @@ def beam_search(model, params, z, c, beam_size=5, n_best=3, min_length=1,
     fin_mask = jnp.swapaxes(mask_steps, 0, 1).reshape(B, T * K)
     fin_score = jnp.swapaxes(sc_steps, 0, 1).reshape(B, T * K)
 
-    finalize = jax.vmap(partial(_finalize_one, K=K, n_best=n_best, T=T))
+    finalize = jax.vmap(partial(_finalize_one, K=K, n_best=n_best, T=T,
+                                fast=fast))
     hyps, scores = finalize(ys, ptrs, state.scores, state.adv,
                             state.fin_cnt, fin_mask, fin_score)
     return hyps, scores
@@ -248,8 +276,9 @@ def beam_search_logits(all_logits, beam_size=5, n_best=3, min_length=1):
         eos_top=jnp.zeros((B,), bool),
         fin_cnt=jnp.zeros((B,), jnp.int32),
     )
+    fast = nn.fast_gathers_enabled()
     advance = jax.vmap(partial(_advance_one, K=K, V=V,
-                               min_length=min_length))
+                               min_length=min_length, fast=fast))
     logits_tm = jnp.swapaxes(all_logits, 0, 1)          # [T, B, V]
 
     def step(state, logits_t):
@@ -280,6 +309,7 @@ def beam_search_logits(all_logits, beam_size=5, n_best=3, min_length=1):
     ptrs = jnp.swapaxes(ptr_steps, 0, 1)
     fin_mask = jnp.swapaxes(mask_steps, 0, 1).reshape(B, T * K)
     fin_score = jnp.swapaxes(sc_steps, 0, 1).reshape(B, T * K)
-    finalize = jax.vmap(partial(_finalize_one, K=K, n_best=n_best, T=T))
+    finalize = jax.vmap(partial(_finalize_one, K=K, n_best=n_best, T=T,
+                                fast=fast))
     return finalize(ys, ptrs, state.scores, state.adv, state.fin_cnt,
                     fin_mask, fin_score)
