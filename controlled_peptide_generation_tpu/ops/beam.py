@@ -23,6 +23,7 @@ Semantics matched to the reference:
   walking backpointers, including the initial BOS row (Beam.py:124-131).
 """
 
+import math
 from functools import partial
 from typing import Any, NamedTuple
 
@@ -81,7 +82,8 @@ def _advance_one(logp, scores, prev, adv, *, K, V, min_length, fast=False):
     # top_k lowers to a full stable sort of the [K*V] candidates; the
     # iterated-argmax form is exact (incl. tie order) and cheaper on TPU
     # at large beam widths (ops/nn.py topk_small; its >= k finite-entries
-    # precondition holds here — see its docstring)
+    # precondition holds when K <= V - 2 — the _fast_topk gate below
+    # falls back to lax.top_k for wider beams)
     if fast:
         best, ids = nn.topk_small(bs.reshape(K * V), K)
     else:
@@ -188,8 +190,12 @@ def beam_search(model, params, z, c, beam_size=5, n_best=3, min_length=1,
     )
 
     fast = nn.fast_gathers_enabled()
+    # topk_small needs >= K finite candidates on the first advance
+    # (>= V - 2 available: BOS and possibly EOS blocked); wider beams
+    # fall back to lax.top_k, which handles -inf tails gracefully
     advance = jax.vmap(partial(_advance_one, K=K, V=V,
-                               min_length=min_length, fast=fast))
+                               min_length=min_length,
+                               fast=fast and K <= V - 2))
 
     def step(state, _):
         h_flat = jax.tree.map(
@@ -208,10 +214,15 @@ def beam_search(model, params, z, c, beam_size=5, n_best=3, min_length=1,
         # reorder hidden along the beam axis by backpointer origin,
         # per leaf (index broadcast up to the leaf's rank); the dynamic
         # K-axis gather is latency-bound on TPU — the fast path lowers
-        # it as a K-way select chain
+        # SMALL leaves (GRU hidden, cache positions) as a K-way select
+        # chain. The chain reads a leaf K+1 times, so big leaves like the
+        # transformer's [B,K,S,D] KV cache stay on the one-read gather:
+        # measured neutral there at reference dims (154k vs 148k seqs/s
+        # beam 5, 172k vs 175k beam 15) and the K+1 HBM passes would
+        # dominate at larger d_model*S
         def reorder(a):
             a = a.reshape(B, K, *a.shape[1:])
-            if fast:
+            if fast and math.prod(a.shape[2:]) <= 1024:
                 return nn.take_small_axis1(a, prev_k)
             idx = prev_k.reshape(B, K, *([1] * (a.ndim - 2)))
             return jnp.take_along_axis(a, idx, axis=1)
@@ -278,7 +289,8 @@ def beam_search_logits(all_logits, beam_size=5, n_best=3, min_length=1):
     )
     fast = nn.fast_gathers_enabled()
     advance = jax.vmap(partial(_advance_one, K=K, V=V,
-                               min_length=min_length, fast=fast))
+                               min_length=min_length,
+                               fast=fast and K <= V - 2))
     logits_tm = jnp.swapaxes(all_logits, 0, 1)          # [T, B, V]
 
     def step(state, logits_t):

@@ -65,13 +65,15 @@ def onehot(ix, n):
 # iterated argmax, and a one-hot matmul. They compute bit-identical
 # results (pure selection / single-nonzero dot rows, verified end-to-end
 # in tests/test_fast_gathers.py and on hardware). Measured on the v5e
-# chip (separate-process A/B, median of 8): the full beam program is
+# chip (separate-process A/B, median of 8): the full GRU beam program is
 # ~1.2x faster at beam_size=15 (the static_eval recon setting) and
-# neutral at beam_size=5 — the rewrites are never slower, so they are
-# enabled on non-CPU backends at trace time; tests force them either way
-# via set_fast_gathers.
+# neutral at beam_size=5; the transformer KV-cache beam is neutral at
+# both (its reorder stays on the gather path via the leaf-size gate in
+# beam.py). Enabled at trace time on the TPU backend only — every
+# measurement behind them is TPU; GPU's native gather/sort kernels have
+# no such latency cliff. Tests force either path via set_fast_gathers.
 
-_FAST_GATHERS = None   # None = auto (non-CPU backends); True/False = forced
+_FAST_GATHERS = None   # None = auto (TPU backend); True/False = forced
 
 
 def set_fast_gathers(value):
@@ -84,7 +86,7 @@ def set_fast_gathers(value):
 def fast_gathers_enabled():
     if _FAST_GATHERS is not None:
         return _FAST_GATHERS
-    return jax.default_backend() != "cpu"
+    return jax.default_backend() == "tpu"
 
 
 def take_small_axis1(a, idx):
@@ -119,11 +121,14 @@ def topk_small(x, k):
 
     Preconditions: (1) every row has at least k entries strictly above
     -inf (masking cannot go below -inf, so all--inf tails would repeat
-    index 0); (2) no -0.0 entries — top_k's total order ranks +0.0 above
-    -0.0 but argmax treats them equal, so canonicalize signed zeros
-    first (beam.py does). Beam candidate rows satisfy both: blocked
-    entries use the finite NEG, the first-advance -inf rows leave
-    >= V-2 finite candidates, and _advance_one rewrites -0.0 to +0.0.
+    index 0 — where lax.top_k would return distinct dead lanes); (2) no
+    -0.0 entries — top_k's total order ranks +0.0 above -0.0 but argmax
+    treats them equal, so canonicalize signed zeros first (beam.py
+    does). Beam candidate rows satisfy both WHEN beam_size <= V - 2:
+    blocked entries use the finite NEG, the first advance leaves >= V-2
+    finite candidates in beam row 0 (BOS and possibly EOS blocked, the
+    other K-1 rows all -inf), and _advance_one rewrites -0.0 to +0.0.
+    beam.py enforces the bound by falling back to lax.top_k otherwise.
     """
     iota = jax.lax.iota(jnp.int32, x.shape[-1])
     iota = jnp.broadcast_to(iota, x.shape)
@@ -145,7 +150,14 @@ def table_lookup(table, ix):
     row contributes a single 1.0 * table[v] term; adding the zero terms
     is exact in any float dtype — but ONLY at Precision.HIGHEST, which
     keeps f32 table entries un-truncated (TPU default precision rounds
-    matmul inputs to bf16; verified non-exact on hardware)."""
+    matmul inputs to bf16; verified non-exact on hardware).
+
+    One caveat keeps the two paths bit-identical: summing the zero terms
+    turns a -0.0 table entry into +0.0 (1.0*-0.0 + 0.0 = +0.0), so BOTH
+    paths canonicalize signed zeros in the table first. -0.0 -> +0.0 is
+    arithmetically inert everywhere downstream (x + ±0.0, exp, compares
+    all agree); only a bit-level dump of the embedding itself could tell."""
+    table = jnp.where(table == 0.0, 0.0, table)
     if not fast_gathers_enabled():
         return table[ix]
     oh = jax.nn.one_hot(ix, table.shape[0], dtype=table.dtype)

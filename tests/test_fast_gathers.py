@@ -2,9 +2,10 @@
 
 On TPU the beam step's dynamic gathers / top_k sort are replaced by
 select chains, iterated argmax and one-hot matmuls (enabled at trace time
-on non-CPU backends). They must be BIT-exact vs the generic lowerings —
+on the TPU backend). They must be BIT-exact vs the generic lowerings —
 these tests force the fast path on the CPU test backend and compare,
-including through the full beam search vs its default-path output.
+including through the full beam search vs its default-path output, for
+both hidden-state families (GRU array, transformer KV-cache pytree).
 """
 
 import jax
@@ -99,6 +100,27 @@ def test_table_lookup_exact(force_fast, dtype):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(table[ix]))
 
 
+def test_table_lookup_signed_zero_both_paths_agree():
+    """A -0.0 table entry must come out IDENTICAL (as +0.0) on the fast
+    and default paths — the one-hot matmul's zero-term sum flips the
+    sign bit, so table_lookup canonicalizes on both paths."""
+    table = jnp.asarray([[-0.0, 1.0], [2.0, -0.0], [0.5, -0.5]])
+    ix = jnp.asarray([0, 1, 2])
+    outs = {}
+    for flag in (False, True):
+        nn.set_fast_gathers(flag)
+        jax.clear_caches()
+        try:
+            outs[flag] = np.asarray(nn.table_lookup(table, ix))
+        finally:
+            nn.set_fast_gathers(None)
+            jax.clear_caches()
+    np.testing.assert_array_equal(outs[True], outs[False])
+    # and the zero really is +0.0 on both
+    assert np.signbit(outs[True][0, 0]) == np.signbit(outs[False][0, 0])
+    assert not np.signbit(outs[True][0, 0])
+
+
 @pytest.mark.parametrize("seed,K,n_best", [(0, 4, 3), (1, 5, 1)])
 def test_beam_search_fast_path_bit_exact(seed, K, n_best):
     """Full beam search, fast path vs default path: token-exact hyps and
@@ -128,5 +150,63 @@ def test_beam_search_fast_path_bit_exact(seed, K, n_best):
     finally:
         nn.set_fast_gathers(None)
         jax.clear_caches()
+    np.testing.assert_array_equal(hyps, hyps_ref)
+    np.testing.assert_array_equal(scores, scores_ref)
+
+
+def _beam_both_paths(model, params, z, c, K, n_best):
+    nn.set_fast_gathers(False)
+    jax.clear_caches()
+    try:
+        ref = jax.tree.map(np.asarray,
+                           beam_search(model, params, z, c, beam_size=K,
+                                       n_best=n_best))
+        nn.set_fast_gathers(True)
+        jax.clear_caches()
+        out = jax.tree.map(np.asarray,
+                           beam_search(model, params, z, c, beam_size=K,
+                                       n_best=n_best))
+    finally:
+        nn.set_fast_gathers(None)
+        jax.clear_caches()
+    return out, ref
+
+
+def test_beam_search_fast_path_bit_exact_transformer():
+    """Same bit-compare over the transformer's dict KV-cache hidden
+    pytree: the [B,K,S,D] cache leaves exceed the select-chain leaf-size
+    gate (gather path) while the [B,K] pos leaf stays on it — both leaf
+    classes are exercised in one search."""
+    cfg = C.default_config()
+    cfg.model.z_dim = 12
+    cfg.model.emb_dim = 10
+    cfg.model.E_args.E_class = "transformer"
+    cfg.model.G_args.G_class = "transformer"
+    model = build_model(cfg.model, n_vocab=13, max_seq_len=10)
+    params = model.init_params(jax.random.PRNGKey(7))
+    kz, kc = jax.random.split(jax.random.PRNGKey(8))
+    z = model.sample_z_prior(kz, 5)
+    c = model.sample_c_prior(kc, 5)
+    (hyps, scores), (hyps_ref, scores_ref) = _beam_both_paths(
+        model, params, z, c, K=4, n_best=2)
+    np.testing.assert_array_equal(hyps, hyps_ref)
+    np.testing.assert_array_equal(scores, scores_ref)
+
+
+def test_beam_search_fast_path_wide_beam_fallback():
+    """beam_size > V - 2 violates topk_small's finite-entries
+    precondition; the fast path must fall back to lax.top_k there and
+    still match the default path exactly."""
+    cfg = C.default_config()
+    cfg.model.z_dim = 12
+    cfg.model.emb_dim = 10
+    cfg.model.E_args.h_dim = 8
+    model = build_model(cfg.model, n_vocab=13, max_seq_len=10)
+    params = model.init_params(jax.random.PRNGKey(9))
+    kz, kc = jax.random.split(jax.random.PRNGKey(10))
+    z = model.sample_z_prior(kz, 4)
+    c = model.sample_c_prior(kc, 4)
+    (hyps, scores), (hyps_ref, scores_ref) = _beam_both_paths(
+        model, params, z, c, K=12, n_best=3)
     np.testing.assert_array_equal(hyps, hyps_ref)
     np.testing.assert_array_equal(scores, scores_ref)
