@@ -90,8 +90,16 @@ def interpolate_z(z_start, z_end, c=None, method="linear", n_samples=2):
         so = np.sin(omega)
         weights = [1 / (n_samples + 1) * i for i in range(1, n_samples + 1)]
         for w in weights:
-            interp = (np.sin((1.0 - w) * omega) / so * p0
-                      + np.sin(w * omega) / so * p1)
+            if so < 1e-6:
+                # (near-)parallel endpoints: sin(omega) -> 0 and the
+                # slerp ratio is 0/0; its omega->0 limit is linear
+                # interpolation, so use that instead of emitting NaN rows
+                # (deviation: reference api.py:189-193 divides unguarded
+                # and returns all-NaN interior points for z_start=z_end)
+                interp = (1.0 - w) * p0 + w * p1
+            else:
+                interp = (np.sin((1.0 - w) * omega) / so * p0
+                          + np.sin(w * omega) / so * p1)
             z_list.append(np.expand_dims(interp, 0))
     else:
         raise ValueError("Please use another interpolation method.")

@@ -429,9 +429,35 @@ def dataset_spec(cfg):
 # finalize: derive paths/schedules, apply --tiny/part/phase (cfg.py:75-137)
 # ---------------------------------------------------------------------------
 
-def finalize(cfg):
+def finalize(cfg, overrides=None):
     cfg.savepath = os.path.join(cfg.savepath_toplevel, cfg.runname)
     cfg.tbpath = os.path.join(cfg.tb_toplevel, cfg.runname)
+
+    # Re-derive fields default_config() computes FROM n_iter/s_iter, so a
+    # CLI/JSON override of those propagates (e.g. --vae.n_iter 1000 must
+    # move full.s_iter and the phase-2 auto-loadpath to model_1000, and
+    # the beta anneal to n_iter//5 — the reference derives these once at
+    # module import, cfg.py:188-227, leaving them stale under overrides
+    # and crashing phase 2 at load; documented deviation). A field the
+    # user set EXPLICITLY (its dotted key in ``overrides``) is kept.
+    ov = overrides or {}
+    rederive = (
+        ("full.s_iter", lambda: cfg.vae.n_iter),
+        ("vae.beta.start.iter", lambda: cfg.vae.s_iter),
+        ("vae.beta.end.iter", lambda: cfg.vae.s_iter + cfg.vae.n_iter // 5),
+        ("full.beta.start.iter", lambda: cfg.full.s_iter),
+        ("full.beta.end.iter", lambda: cfg.full.s_iter + cfg.full.n_iter),
+        ("full.softmax_temp.start.iter", lambda: cfg.full.s_iter),
+        ("full.softmax_temp.end.iter",
+         lambda: cfg.full.s_iter + cfg.full.n_iter),
+    )
+    for key, derive in rederive:
+        if key not in ov:
+            node = cfg
+            *path, leaf = key.split(".")
+            for p in path:
+                node = node[p]
+            node[leaf] = derive()
 
     if cfg.tiny:
         cfg.shared.n_iter = 100
@@ -517,7 +543,7 @@ def parse_and_finalize(argv=None, extra_args=None, cfg=None):
     if getattr(args, "config_json", None):
         overrides.update(override_from_json(cfg, args.config_json))
     overrides.update(override_from_args(cfg, args))
-    finalize(cfg)
+    finalize(cfg, overrides)
     return cfg, args, overrides
 
 

@@ -48,6 +48,15 @@ class _WeightedRandomIterator:
     def __init__(self, indices, weights, batch_size, seed, block=128):
         self.indices = np.asarray(indices)
         p = np.asarray(weights, dtype=np.float64)
+        if p.size == 0 or p.sum() <= 0.0:
+            # fail HERE with the cause, not later inside rng.choice with
+            # numpy's opaque 'probabilities contain NaN' (happens when a
+            # subset spec matches no rows of a custom corpus)
+            raise ValueError(
+                "empty or zero-weight subset: the iterator's subset "
+                f"specifiers matched {p.size} rows (total weight "
+                f"{p.sum() if p.size else 0.0}) — check the subset "
+                "mini-language specs and corpus contents")
         self.p = p / p.sum()
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
@@ -213,7 +222,13 @@ class AttributeDataLoader:
             # behaves as all-NA
             return pd.Series(negate, index=df.index)
         if allowed is not None:
-            return df[key].isin(allowed.split(","))
+            mask = df[key].isin(allowed.split(","))
+            # '^col=v1,v2' = NOT one of the values; an extension of the
+            # reference mini-language (its get_mask, dataset.py:170-181,
+            # splits on '=' first, so '^col=val' crashes on KeyError
+            # there — silently ignoring the '^' would select the exact
+            # complement of the intent)
+            return ~mask if negate else mask
         return df[key].isna() if negate else df[key].notna()
 
     def get_subset_indices(self, *colspecifiers):

@@ -84,7 +84,13 @@ def _align_pair(a, b, la, lb, S, L, gap_open, gap_extend):
 
         inps = (M_prev[:-1], Ix_prev[:-1], Iy_prev[:-1],
                 M_prev[1:], Ix_prev[1:], sub_row)
-        (_, _), (m_r, ix_r, iy_r) = jax.lax.scan(col, (NEG, ix_j0), inps)
+        # carry = (M(i, j-1), Iy(i, j-1)); both NEG at j=1: column 0 has
+        # no match state and no horizontal-gap state (nothing of b is
+        # consumed yet) — seeding iy_left with the vertical-gap value
+        # ix_j0 would price a vertical->horizontal gap switch as a gap
+        # EXTENSION instead of a new open (measured: 'WWWWWWWWWW' vs 'P'
+        # scored -20 instead of the affine optimum -22)
+        (_, _), (m_r, ix_r, iy_r) = jax.lax.scan(col, (NEG, NEG), inps)
         M_row = jnp.concatenate([jnp.array([NEG]), m_r])
         Ix_row = jnp.concatenate([jnp.array([ix_j0]), ix_r])
         Iy_row = jnp.concatenate([jnp.array([NEG]), iy_r])

@@ -126,6 +126,11 @@ class PeptideEvaluator:
                 av_uH += calculate_moment(seq_h)
         n = len(seqs)
         sizes = [len(clean_sequence(rec)) for rec in seqs]
+        # a collapsed/early model can emit only special-token sequences:
+        # every rec cleans to '' and aa_count is 0 — report degenerate
+        # stats instead of crashing the eval run (aa_composition has the
+        # same guard)
+        aa_count = max(aa_count, 1)
         return {
             "av_h": av_h / n,
             "av_uH": av_uH / n,

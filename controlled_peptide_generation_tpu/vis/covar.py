@@ -10,14 +10,15 @@ import logging
 import numpy as np
 
 from . import build_index
+from ..latent.density import empirical_covar as _empirical_covar
 
 LOG = logging.getLogger("GenerationAPI")
 
 
 def empirical_covar(X):
-    X = np.asarray(X, np.float64)
-    Xc = X - X.mean(0, keepdims=True)
-    return (Xc.T @ Xc) / Xc.shape[0]
+    """float64 host-side view of the shared centered-covariance formula
+    (latent/density.py — one definition, two call sites)."""
+    return _empirical_covar(np.asarray(X, np.float64))
 
 
 def cov_q(mus, logvars):
@@ -72,7 +73,10 @@ def analyze_one_set(C, d1, d2, label_type, fname):
     plt.close()
 
     plt.figure(figsize=(10, 5))
-    offdia = C[np.triu(np.ones_like(C)) == 1]
+    # strictly above the diagonal (deviation: reference covar.py:90 uses
+    # triu without k=1, mixing the ~1.0 diagonal into the off-diagonal
+    # histogram as a spurious correlation mode)
+    offdia = C[np.triu(np.ones_like(C), k=1) == 1]
     plt.hist(offdia, bins=100)
     plt.title(f"Histogram of off-diagonals for {label_type}", fontsize=18)
     plt.savefig(fname[:-3] + "_" + label_type + "_covar_offdiag.png",

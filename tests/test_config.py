@@ -62,6 +62,29 @@ def test_tiny_profile_and_finalize(tmp_path):
     assert cfg.vae.chkpt_path.endswith("model_{}.npz")
 
 
+def test_override_n_iter_rederives_schedules():
+    """--vae.n_iter must propagate into full.s_iter, the beta/softmax
+    anneal iters and the phase-2 auto-loadpath (deviation: the reference
+    derives these once at module import, cfg.py:188-227, so an override
+    there leaves phase 2 pointing at a checkpoint that was never
+    written)."""
+    cfg, _, _ = C.parse_and_finalize(["--vae.n_iter", "1000",
+                                      "--phase", "2"])
+    assert cfg.full.s_iter == 1000
+    assert cfg.loadpath.endswith("model_1000.npz")
+    assert cfg.vae.beta.end.iter == 200            # n_iter // 5
+    assert cfg.full.beta.start.iter == 1000
+    assert cfg.full.beta.end.iter == 1000 + cfg.full.n_iter
+    assert cfg.full.softmax_temp.end.iter == 1000 + cfg.full.n_iter
+
+
+def test_explicit_schedule_override_wins_over_rederive():
+    cfg, _, _ = C.parse_and_finalize(["--vae.n_iter", "1000",
+                                      "--full.s_iter", "777"])
+    assert cfg.full.s_iter == 777
+    assert cfg.full.beta.start.iter == 777         # derived from kept value
+
+
 def test_part_resume_autoload(tmp_path):
     cfg = C.default_config()
     cfg.phase = 1

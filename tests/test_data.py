@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from controlled_peptide_generation_tpu import config as C
 from controlled_peptide_generation_tpu.data import (
@@ -75,6 +76,29 @@ def test_subset_minilanguage(synthetic_corpus):
     assert (d.labels["amp"][pos] == 1).all()
     assert (d.labels["amp"][neg] == 0).all()
     assert (d.labels["amp"][lacks] == -1).all()
+
+
+def test_subset_minilanguage_negated_value_spec(synthetic_corpus):
+    """'^col=v1,v2' selects rows NOT in the values (incl. NA rows) — the
+    reference's get_mask crashes on this form; silently dropping the '^'
+    would select the exact complement of the intent."""
+    d = make_loader(synthetic_corpus)
+    pos = d.get_subset_indices("amp=amp_posc,amp_posnc")
+    notpos = d.get_subset_indices("^amp=amp_posc,amp_posnc")
+    assert len(pos) + len(notpos) == len(d.df)
+    assert not set(pos) & set(notpos)
+    assert (d.labels["amp"][notpos] != 1).all()
+
+
+def test_empty_subset_fails_loudly(synthetic_corpus):
+    """A subset spec matching no rows must raise a descriptive error at
+    iterator construction, not numpy's 'probabilities contain NaN' at the
+    first next_batch."""
+    from controlled_peptide_generation_tpu.data.loader import (
+        _WeightedRandomIterator)
+    with pytest.raises(ValueError, match="empty or zero-weight subset"):
+        _WeightedRandomIterator(np.array([], np.int64), np.array([]),
+                                batch_size=4, seed=0)
 
 
 def test_weighted_upsampling(synthetic_corpus):

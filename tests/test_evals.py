@@ -36,6 +36,75 @@ def test_alignment_batched_matches_single():
     np.testing.assert_allclose(batch, singles)
 
 
+def _gotoh_reference(a, b, open_=-10.0, ext=-1.0):
+    """Plain-python 3-state affine-gap global alignment (textbook Gotoh)."""
+    S = alignment.BLOSUM62
+    ix = alignment.AA_TO_IX
+    n, m = len(a), len(b)
+    NEG = float("-inf")
+    M = [[NEG] * (m + 1) for _ in range(n + 1)]
+    Ix = [[NEG] * (m + 1) for _ in range(n + 1)]   # gap in b (consumes a)
+    Iy = [[NEG] * (m + 1) for _ in range(n + 1)]   # gap in a (consumes b)
+    M[0][0] = 0.0
+    for i in range(1, n + 1):
+        Ix[i][0] = open_ + (i - 1) * ext
+    for j in range(1, m + 1):
+        Iy[0][j] = open_ + (j - 1) * ext
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            s = float(S[ix[a[i - 1]], ix[b[j - 1]]])
+            M[i][j] = max(M[i - 1][j - 1], Ix[i - 1][j - 1],
+                          Iy[i - 1][j - 1]) + s
+            Ix[i][j] = max(M[i - 1][j] + open_, Ix[i - 1][j] + ext)
+            Iy[i][j] = max(M[i][j - 1] + open_, Iy[i][j - 1] + ext)
+    return max(M[n][m], Ix[n][m], Iy[n][m])
+
+
+def test_alignment_gap_direction_switch_not_an_extension():
+    """Column-0 boundary regression: a vertical->horizontal gap switch
+    must cost a second gap OPEN, not an extension. The buggy carry seed
+    scored these -20 / -14 instead of the affine optima -22 / -16."""
+    assert align("WWWWWWWWWW", "P") == -22.0
+    assert align("PPPP", "W") == -16.0
+
+
+def test_alignment_matches_bruteforce_gotoh():
+    rng = np.random.default_rng(0)
+    aas = alignment.AA_ORDER
+    pairs = []
+    for _ in range(25):
+        la = int(rng.integers(1, 12))
+        lb = int(rng.integers(1, 12))
+        pairs.append(("".join(rng.choice(list(aas), la)),
+                      "".join(rng.choice(list(aas), lb))))
+    L = 12
+    ac, al = alignment.encode_seqs([p[0] for p in pairs], L)
+    bc, bl = alignment.encode_seqs([p[1] for p in pairs], L)
+    batch = np.asarray(alignment.align_scores(ac, bc, al, bl))
+    ref = [_gotoh_reference(a, b) for a, b in pairs]
+    np.testing.assert_allclose(batch, ref)
+
+
+def test_heuristics_degenerate_specials_only():
+    """A collapsed model can emit only special-token sequences: every rec
+    cleans to '' — must report degenerate stats, not ZeroDivisionError."""
+    ev = peptide_evals.PeptideEvaluator()
+    stats = ev.heuristics(["<unk> <unk>", "<pad>"])
+    assert stats["avg_size"] == 0.0
+    assert stats["av_n_p"] == 0.0
+
+
+def test_slerp_identical_endpoints_no_nan():
+    """slerp between parallel endpoints is the omega->0 limit = linear;
+    must not emit NaN rows (deviation: reference api.py:189-193 divides
+    by sin(0))."""
+    from controlled_peptide_generation_tpu.api import interpolate_z
+    z = np.random.default_rng(0).normal(size=(1, 16)).astype(np.float32)
+    z_list, weights = interpolate_z(z, z, method="slerp", n_samples=3)
+    assert np.isfinite(z_list).all()
+    np.testing.assert_allclose(z_list, np.repeat(z, 5, axis=0), rtol=1e-6)
+
+
 def test_clean_sequence_filters_specials():
     assert peptide_evals.clean_sequence("A C K") == "ACK"
     assert peptide_evals.clean_sequence("A <pad> C") == ""
