@@ -460,6 +460,18 @@ def _log_round_rates(n_accept_z, n_accept, n_total, dropped):
              n_accept, n_total, 100.0 * n_accept / max(n_total, 1))
 
 
+def canonical_keys(tokens):
+    """Dedup keys for decoded token rows: each row projected to its residue
+    tokens (> EOS_IDX) left-packed over a zero tail — exactly the content
+    idx2sentences renders, so key equality IS stripped-string equality even
+    when beam emits UNK/PAD mid-sequence. Returns an iterator of bytes."""
+    residue = tokens > 3  # specials pinned at 0..3 (vocab contract)
+    order = np.argsort(~residue, axis=1, kind="stable")
+    keys = np.take_along_axis(
+        np.where(residue, tokens, 0), order, axis=1)
+    return map(bytes, keys)
+
+
 def _fused_sampling_loop(cfg, args, model, params, dataset, Q, key,
                          round_size, mesh):
     """Overlapped sampling loop: up to hw.rounds_in_flight rounds are
@@ -543,19 +555,12 @@ def _fused_sampling_loop(cfg, args, model, params, dataset, Q, key,
             accept_z = accept_full
 
         # ---- host-side bookkeeping for round R ----
-        # dedup on CANONICALIZED token rows, then build strings only for
-        # the survivors: each row is projected to its residue tokens
-        # (> EOS_IDX) left-packed over a zero tail — exactly the content
-        # idx2sentences renders, so key equality IS stripped-string
-        # equality even when beam emits UNK/PAD mid-sequence. At the high
-        # duplicate rates of collapsed models this skips >95% of the
-        # python string work vs deduping on rendered strings.
-        residue = tokens > 3  # specials pinned at 0..3 (vocab contract)
-        order = np.argsort(~residue, axis=1, kind="stable")
-        keys = np.take_along_axis(
-            np.where(residue, tokens, 0), order, axis=1)
+        # dedup on CANONICALIZED token rows (canonical_keys), then build
+        # strings only for the survivors: at the high duplicate rates of
+        # collapsed models this skips >95% of the python string work vs
+        # deduping on rendered strings.
         keep = np.empty(tokens.shape[0], bool)
-        for i, rb in enumerate(map(bytes, keys)):
+        for i, rb in enumerate(canonical_keys(tokens)):
             if rb in seen:
                 keep[i] = False
             else:

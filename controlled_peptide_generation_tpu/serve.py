@@ -1,0 +1,347 @@
+"""Production serving layer over the fused CLaSS sampler.
+
+The reference has no serving story — its `sample_pipeline.py` is a batch
+job that writes CSVs (reference sample_pipeline.py:236-326). This module
+turns the same machinery into a long-lived service: one process owns the
+trained model, the fitted Q(z|a) density and the latent attribute
+classifiers, and answers "give me N accepted peptides" requests from many
+concurrent clients.
+
+Design (TPU-first, same principles as the batch pipeline):
+
+* ONE worker thread owns the device. JAX dispatch is not thread-safe to
+  interleave arbitrarily, and a single stream of fused rounds keeps the
+  chip at full occupancy anyway — concurrency is coalesced into DEMAND,
+  not into parallel device work.
+* Demand coalescing: all outstanding requests share one accepted-sample
+  buffer. The worker sizes its next fused round to the total outstanding
+  demand (minimum one round), so ten concurrent n=100 requests cost the
+  same device time as one n=1000 request. Each accepted, deduped sample
+  is handed to exactly one request (FIFO).
+* The device work is `pipeline.launch_round` — the identical fused
+  program the batch pipeline runs (rejection + accepted-compaction +
+  beam decode in one dispatch), including `hw.decode_mode=accepted` and
+  mesh sharding. The serving layer adds zero device code.
+* Dedup is global across the server's lifetime (`pipeline.canonical_keys`
+  token canonicalization), so a client can never receive a peptide the
+  server already served — the batch pipeline's uniqueness contract,
+  extended to the stream.
+
+The HTTP front-end is stdlib-only (ThreadingHTTPServer): POST /generate
+{"n": 10} blocks until n samples are ready and returns peptides with
+their acceptance scores and physicochemistry; GET /healthz and /stats
+report liveness and throughput counters. `python serve.py` (repo root)
+wires it to a trained run directory with the same flags as
+sample_pipeline.py.
+"""
+
+import json
+import logging
+import threading
+import time
+from collections import deque
+
+import jax
+import numpy as np
+
+from . import pipeline
+from .evals.peptide_evals import modlamp_from_tokens
+
+LOG = logging.getLogger("GenerationServer")
+
+
+class _Request:
+    """One client's outstanding demand: filled by the worker, waited on by
+    the client thread."""
+
+    __slots__ = ("n", "rows", "event")
+
+    def __init__(self, n):
+        self.n = n
+        self.rows = []
+        self.event = threading.Event()
+
+
+class GenerationServer:
+    """Coalescing generation service over fused CLaSS rounds.
+
+    Construct with the same objects `pipeline.run` builds (model, params,
+    dataset, fitted Q with attribute classifiers), or via
+    :func:`build_server` to load them from a trained run directory.
+    """
+
+    def __init__(self, cfg, model, params, dataset, Q, round_size=5000,
+                 mesh=None, seed=None):
+        self.cfg = cfg
+        self.model = model
+        self.params = params
+        self.dataset = dataset
+        self.Q = Q
+        self.round_size = int(round_size)
+        self.mesh = mesh
+        self._key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+        self._seen = set()
+        self._queue = deque()          # FIFO of _Request
+        self._lock = threading.Lock()
+        self._wake = threading.Condition(self._lock)
+        self._running = False
+        self._worker = None
+        self._round_ix = 0
+        self.stats = {"rounds": 0, "candidates": 0, "accepted": 0,
+                      "served": 0, "duplicates": 0, "device_s": 0.0,
+                      "started_at": None}
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def start(self):
+        assert self._worker is None, "already started"
+        self._running = True
+        self.stats["started_at"] = time.time()
+        self._worker = threading.Thread(target=self._worker_loop,
+                                        name="class-rounds", daemon=True)
+        self._worker.start()
+        return self
+
+    def stop(self, timeout=60):
+        with self._wake:
+            self._running = False
+            self._wake.notify_all()
+        if self._worker is not None:
+            self._worker.join(timeout)
+            self._worker = None
+        # fail any requests still waiting (their rows stay partial)
+        with self._lock:
+            while self._queue:
+                self._queue.popleft().event.set()
+
+    # -- client API ---------------------------------------------------------
+
+    def generate(self, n, timeout=None):
+        """Block until n accepted, globally-unique peptides are available;
+        returns a list of row dicts (peptide, scores, physchem). Raises
+        TimeoutError on timeout; ValueError on a non-positive n."""
+        n = int(n)
+        if n <= 0:
+            raise ValueError(f"n must be positive, got {n}")
+        req = _Request(n)
+        with self._wake:
+            assert self._running, "server not started"
+            self._queue.append(req)
+            self._wake.notify_all()
+        if not req.event.wait(timeout):
+            with self._lock:
+                try:
+                    self._queue.remove(req)
+                except ValueError:
+                    pass  # worker completed it between wait() and here
+            if req.event.is_set():
+                return req.rows
+            raise TimeoutError(
+                f"generate({n}) timed out after {timeout}s "
+                f"({len(req.rows)} of {n} ready)")
+        return req.rows
+
+    # -- worker --------------------------------------------------------------
+
+    def _outstanding(self):
+        return sum(r.n - len(r.rows) for r in self._queue)
+
+    def _worker_loop(self):
+        while True:
+            with self._wake:
+                while self._running and self._outstanding() == 0:
+                    self._wake.wait()
+                if not self._running:
+                    return
+                demand = self._outstanding()
+            rows = self._run_round(demand)
+            with self._wake:
+                for row in rows:
+                    if not self._queue:
+                        break  # extra accepted rows: dropped (stay deduped)
+                    req = self._queue[0]
+                    req.rows.append(row)
+                    self.stats["served"] += 1
+                    if len(req.rows) >= req.n:
+                        self._queue.popleft()
+                        req.event.set()
+
+    def _round_sizes(self, demand):
+        """Candidate count for the next fused round: sized to outstanding
+        demand at the observed acceptance rate (2x headroom for dedup and
+        rate noise), clamped to [1, 4] compiled round shapes — powers of
+        round_size keep the jit cache tiny while letting a big burst of
+        demand pull a big round."""
+        acc = self.stats["accepted"] / max(self.stats["candidates"], 1)
+        acc = max(acc, 0.05)  # before any data, assume a lean 5%
+        want = int(2 * demand / acc)
+        mult = max(1, min(4, -(-want // self.round_size)))
+        return mult * self.round_size
+
+    def _run_round(self, demand):
+        n = self._round_sizes(demand)
+        self._round_ix += 1
+        t0 = time.perf_counter()
+        z, scores, accept, tokens, _idx, valid = pipeline.launch_round(
+            self.cfg, self.model, self.params, self.Q, n,
+            jax.random.fold_in(self._key, self._round_ix),
+            fused=True, mesh=self.mesh)
+        tokens_np = np.asarray(tokens)
+        accept_np = np.asarray(accept)
+        scores_np = {k: np.asarray(v) for k, v in scores.items()}
+        n_candidates = accept_np.shape[0]
+        if valid is not None:
+            # accepted-only decode: the valid compacted slots are the
+            # accepted candidates (rejected rows never reached the host)
+            v = np.asarray(valid)
+            tokens_np = tokens_np[v]
+            scores_np = {k: s[v] for k, s in scores_np.items()}
+            n_accepted = int(accept_np.sum())
+        else:
+            n_accepted = int(accept_np.sum())
+            tokens_np = tokens_np[accept_np]
+            scores_np = {k: s[accept_np] for k, s in scores_np.items()}
+        # global dedup on canonicalized token rows (pipeline contract)
+        keep = np.empty(tokens_np.shape[0], bool)
+        for i, rb in enumerate(pipeline.canonical_keys(tokens_np)):
+            if rb in self._seen:
+                keep[i] = False
+            else:
+                keep[i] = True
+                self._seen.add(rb)
+        dup = int(keep.size - keep.sum())
+        kept_tokens = tokens_np[keep].astype(np.int32)
+        peptides = self.dataset.idx2sentences(kept_tokens,
+                                              print_special_tokens=False)
+        H, uH, charge = modlamp_from_tokens(kept_tokens,
+                                            self.dataset.vocab.itos)
+        dt = time.perf_counter() - t0
+        with self._lock:
+            self.stats["rounds"] += 1
+            self.stats["candidates"] += n_candidates
+            self.stats["accepted"] += n_accepted
+            self.stats["duplicates"] += dup
+            self.stats["device_s"] += dt
+        LOG.info("round %d: %d candidates -> %d accepted, %d unique "
+                 "(%.2fs)", self._round_ix, n_candidates, n_accepted,
+                 len(peptides), dt)
+        rows = []
+        score_cols = {k: s[keep] for k, s in scores_np.items()}
+        for i, pep in enumerate(peptides):
+            row = {"peptide": pep, "H": float(H[i]), "uH": float(uH[i]),
+                   "charge": float(charge[i])}
+            for k, s in score_cols.items():
+                row[k] = float(s[i])
+            rows.append(row)
+        return rows
+
+    # -- introspection -------------------------------------------------------
+
+    def stats_snapshot(self):
+        with self._lock:
+            out = dict(self.stats)
+            out["outstanding"] = self._outstanding()
+            out["unique_seen"] = len(self._seen)
+        up = time.time() - out["started_at"] if out["started_at"] else 0.0
+        out["uptime_s"] = up
+        out["accepted_per_s"] = out["accepted"] / max(up, 1e-9)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# HTTP front-end (stdlib only)
+# ---------------------------------------------------------------------------
+
+def make_http_server(server, host="127.0.0.1", port=8800,
+                     max_n=100_000, request_timeout=600.0):
+    """Wrap a started GenerationServer in a ThreadingHTTPServer.
+
+    POST /generate {"n": 10}  -> {"samples": [...], "n": 10}
+    GET  /healthz             -> {"ok": true}
+    GET  /stats               -> throughput counters
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True,
+                                 "backend": jax.default_backend(),
+                                 "n_devices": len(jax.devices())})
+            elif self.path == "/stats":
+                self._json(200, server.stats_snapshot())
+            else:
+                self._json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._json(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                n = int(payload.get("n", 1))
+                if not (0 < n <= max_n):
+                    self._json(400, {"error": f"n must be in [1, {max_n}]"})
+                    return
+                rows = server.generate(
+                    n, timeout=float(payload.get("timeout",
+                                                 request_timeout)))
+                self._json(200, {"n": len(rows), "samples": rows})
+            except TimeoutError as e:
+                self._json(504, {"error": str(e)})
+            except Exception as e:  # pragma: no cover - defensive
+                LOG.exception("generate failed")
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, fmt, *a):
+            LOG.debug("%s " + fmt, self.address_string(), *a)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def build_server(cfg, args):
+    """Load a trained run and fit Q + latent classifiers exactly as the
+    batch pipeline does (pipeline.run), then return an un-started
+    GenerationServer."""
+    from . import config as C
+    from .api import (load_trained_model, get_model_and_vocab_path,
+                      load_vocab)
+    from .data import AttributeDataLoader
+
+    model_path, vocab_path, _ = get_model_and_vocab_path(cfg)
+    vocab = load_vocab(vocab_path)
+    model, params = load_trained_model(model_path, vocab.size(), cfg)
+    spec = C.dataset_spec(cfg)
+    spec.pop("synthetic", None)
+    dataset = AttributeDataLoader(mbsize=cfg.vae.batch_size,
+                                  max_seq_len=cfg.max_seq_len, **spec)
+    qkwargs = dict(pipeline.Q_KWARGS)
+    for k in qkwargs:
+        if hasattr(args, "Q_" + k):
+            qkwargs[k] = getattr(args, "Q_" + k)
+    q_select = {"amp": 1} if args.Q_select_amppos else {}
+    key = jax.random.PRNGKey(cfg.seed)
+    Q, _ = pipeline.fitQ_and_test(cfg, pipeline.Q_CLASS, qkwargs, q_select,
+                                  {}, key=key)
+    z_clfs = {attr: pipeline.build_clfZ(cfg, attr, spec["attributes"])
+              for attr in ["amp", "tox"]}
+    Q.init_attr_classifiers(z_clfs, clf_targets={"amp": 1, "tox": 0})
+
+    n_dp = int(cfg.hw.get("dp", 1))
+    if n_dp == 0:
+        n_dp = len(jax.devices())
+    mesh = None
+    if n_dp > 1:
+        from . import parallel
+        mesh = parallel.get_mesh(n_dp, cfg.hw.get("mesh_axis", "data"))
+    return GenerationServer(cfg, model, params, dataset, Q,
+                            round_size=args.n_samples_per_round, mesh=mesh)

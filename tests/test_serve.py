@@ -1,0 +1,132 @@
+"""Serving layer: demand coalescing, lifetime-unique samples, HTTP API.
+
+The server wraps the same fused CLaSS round as the batch pipeline
+(pipeline.launch_round), so device-path correctness is covered by
+test_fusion/test_integration; these tests exercise the serving contract —
+blocking generate(), cross-request dedup, concurrency, timeouts, and the
+stdlib HTTP front-end."""
+
+import argparse
+import json
+import threading
+import urllib.request
+
+import pytest
+
+import main as main_mod
+from controlled_peptide_generation_tpu import config as C
+from controlled_peptide_generation_tpu import serve as S
+from controlled_peptide_generation_tpu.api import (
+    load_trained_model, load_vocab, get_model_and_vocab_path)
+from controlled_peptide_generation_tpu.vis import build_index
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    """Tiny trained run -> state dump -> built + started GenerationServer."""
+    base = tmp_path_factory.mktemp("serve")
+    argv = ["--tiny", "1", "--dataset", "synthetic", "--runname", "serve",
+            "--phase", "1",
+            "--savepath_toplevel", str(base / "out"),
+            "--tb_toplevel", str(base / "tb"),
+            "--datapath", str(base / "data")]
+    cfg = main_mod.main(argv)
+    model_path, vocab_path, run_base = get_model_and_vocab_path(cfg)
+    vocab = load_vocab(vocab_path)
+    model, params = load_trained_model(model_path, vocab.size(), cfg)
+    dataset = main_mod.load_dataset(cfg)
+    build_index.extract_from_dataset(
+        model, params, vocab, cfg, dataset, run_base, cfg.vae.n_iter,
+        max_examples=300)
+    args = argparse.Namespace(
+        Q_n_components=8, Q_covariance_type="diag",
+        n_samples_per_round=256, Q_select_amppos=0)
+    srv = S.build_server(cfg, args)
+    srv.round_size = 256
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def test_generate_unique_rows(server):
+    rows = server.generate(4, timeout=300)
+    assert len(rows) == 4
+    peps = [r["peptide"] for r in rows]
+    assert len(set(peps)) == 4
+    for r in rows:
+        assert {"peptide", "H", "uH", "charge",
+                "clfZ_prob_accum"}.issubset(r)
+        assert 0.0 <= r["clfZ_prob_accum"] <= 1.0
+    # a second request never repeats the first's peptides (lifetime dedup)
+    rows2 = server.generate(4, timeout=300)
+    assert not set(peps) & {r["peptide"] for r in rows2}
+
+
+def test_concurrent_requests_coalesce(server):
+    results = {}
+
+    def ask(name):
+        results[name] = server.generate(3, timeout=300)
+
+    threads = [threading.Thread(target=ask, args=(f"c{i}",))
+               for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+    all_peps = [r["peptide"] for rows in results.values() for r in rows]
+    assert len(all_peps) == 9
+    assert len(set(all_peps)) == 9  # unique ACROSS requests
+    stats = server.stats_snapshot()
+    assert stats["served"] >= 9
+    assert stats["accepted"] > 0 and stats["candidates"] > 0
+
+
+def test_generate_timeout_and_validation(server):
+    with pytest.raises(ValueError):
+        server.generate(0)
+    with pytest.raises(TimeoutError):
+        # no round can complete in ~0 time; request must time out cleanly
+        server.generate(10_000, timeout=1e-6)
+    # the timed-out request must not wedge the queue
+    assert server.generate(1, timeout=300)
+
+
+def test_http_api(server):
+    httpd = S.make_http_server(server, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["ok"] is True
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"n": 2}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=300) as r:
+            out = json.loads(r.read())
+        assert out["n"] == 2 and len(out["samples"]) == 2
+        assert all("peptide" in s for s in out["samples"])
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        assert stats["rounds"] >= 1 and stats["unique_seen"] >= 2
+
+        # malformed: n out of range -> 400, unknown route -> 404
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps({"n": 0}).encode())
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/nope", timeout=30)
+        assert ei.value.code == 404
+    finally:
+        httpd.shutdown()
