@@ -342,6 +342,13 @@ def default_config():
     # dataset switch (cfg.py:304-372)
     cfg.dataset = "amp"       # amp | synthetic
 
+    # synthetic-corpus generation knobs (rebuild-only; the reference ships
+    # fixed CSVs). structured=True assembles sequences from per-class motif
+    # banks — learnable regularity at reference corpus scale (~100k rows)
+    # instead of pure composition noise; see data/synthetic.py
+    cfg.synthetic = Bunch(
+        n_unlab=600, n_amp=200, n_tox=200, seed=7734, structured=False)
+
     cfg.amp_sample_prob_factors = Bunch({
         "amp=amp_posc": 20, "amp=amp_posnc": 10,
         "amp=amp_negc": 20, "amp=amp_negnc": 10,
@@ -420,7 +427,7 @@ def dataset_spec(cfg):
             attributes=list(AMP_ATTRIBUTES[:2]),
             split_seed=1288,
             fixed_vocab_path="",
-            synthetic=True,
+            synthetic=dict(cfg.synthetic),
         )
     raise ValueError(f"unknown dataset {cfg.dataset!r}")
 

@@ -41,8 +41,9 @@ log = logging.getLogger("main")
 
 def load_dataset(cfg):
     spec = C.dataset_spec(cfg)
-    if spec.pop("synthetic", False):
-        synthetic.ensure(spec["data_path"])
+    gen_kwargs = spec.pop("synthetic", None)
+    if gen_kwargs:
+        synthetic.ensure(spec["data_path"], **gen_kwargs)
     return AttributeDataLoader(mbsize=cfg.vae.batch_size,
                                max_seq_len=cfg.max_seq_len, **spec)
 
