@@ -34,12 +34,15 @@ from ..ops import nn
 from ..ops.beam import beam_search, beam_search_logits
 from . import gmm as gmm_mod
 
-# max sentences per beam_search call inside a fused round (see _round_body)
+# max sentences per beam_search call inside a fused round (see _round_body).
+# Default for the beam_chunk parameter below; tools/repro_beam_fault.py
+# reproduces the backend fault this sidesteps.
 _BEAM_CHUNK = 25_000
 
 
 def _round_body(model, params, key, kind, q_params, clf_w, clf_b, targets,
-                n, beam_size=5, decode_dtype="bfloat16", capacity=None):
+                n, beam_size=5, decode_dtype="bfloat16", capacity=None,
+                beam_chunk=None):
     """The round computation, un-jitted: jitted directly for single-device
     use (below) and wrapped with mesh shardings by parallel.dp_fused_round.
 
@@ -87,12 +90,16 @@ def _round_body(model, params, key, kind, q_params, clf_w, clf_b, targets,
         z_d, c_d = z_dec.astype(dt), c.astype(dt)
     else:
         dec_params, z_d, c_d = params, z_dec, c
-    # decode in <=_BEAM_CHUNK-sentence slices (still ONE program — the
+    # decode in <=beam_chunk-sentence slices (still ONE program — the
     # slices are a python loop inside the trace, concatenated). Beyond
     # ~25k sentences after the accepted-first compaction, the single big
     # beam kernel trips a deterministic TPU backend fault ("TPU device
-    # error") on this toolchain; chunking sidesteps it at no measurable
-    # cost and results are exact (per-sentence independence).
+    # error") on this toolchain (repro: tools/repro_beam_fault.py);
+    # chunking sidesteps it at no measurable cost and results are exact
+    # (per-sentence independence). beam_chunk is a static jit arg so tests
+    # exercise the sliced branch at small shapes (test_fusion.py).
+    beam_chunk = _BEAM_CHUNK if beam_chunk is None else int(beam_chunk)
+
     def _decode(z_i, c_i):
         if model.G_class == "deconv":
             # non-autoregressive family: all logits precomputed from
@@ -104,9 +111,9 @@ def _round_body(model, params, key, kind, q_params, clf_w, clf_b, targets,
                            beam_size=beam_size, n_best=1)
 
     B_dec = z_d.shape[0]
-    if B_dec > _BEAM_CHUNK:
-        parts = [_decode(z_d[s:s + _BEAM_CHUNK], c_d[s:s + _BEAM_CHUNK])
-                 for s in range(0, B_dec, _BEAM_CHUNK)]
+    if B_dec > beam_chunk:
+        parts = [_decode(z_d[s:s + beam_chunk], c_d[s:s + beam_chunk])
+                 for s in range(0, B_dec, beam_chunk)]
         hyps = jnp.concatenate([p[0] for p in parts])
         scores = jnp.concatenate([p[1] for p in parts])
     else:
@@ -118,11 +125,11 @@ def _round_body(model, params, key, kind, q_params, clf_w, clf_b, targets,
 
 _fused_round = partial(jax.jit, static_argnames=(
     "model", "kind", "n", "beam_size", "decode_dtype",
-    "capacity"))(_round_body)
+    "capacity", "beam_chunk"))(_round_body)
 
 
 def fused_round(model, params, key, Q, n, beam_size=5, prefix="clfZ",
-                decode_dtype="bfloat16", capacity=None):
+                decode_dtype="bfloat16", capacity=None, beam_chunk=None):
     """One dispatch: returns (z, scores dict, accept, tokens [n, T+1]).
 
     With capacity=K, only accepted candidates are beam-decoded (see module
@@ -135,7 +142,7 @@ def fused_round(model, params, key, Q, n, beam_size=5, prefix="clfZ",
     kind, q_params = Q._sampler()
     out = _fused_round(
         model, params, key, kind, q_params, clf_w, clf_b, targets, n,
-        beam_size, decode_dtype, capacity)
+        beam_size, decode_dtype, capacity, beam_chunk)
     z, c, probs, accum, accept, tokens = out[:6]
     scores = {f"{prefix}_prob_accum": accum}
     for i, a in enumerate(names):

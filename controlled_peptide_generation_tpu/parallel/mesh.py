@@ -212,7 +212,7 @@ _dp_round_cache = {}
 
 def dp_fused_round(mesh, model, params, key, Q, n, beam_size=5,
                    axis="data", decode_dtype="bfloat16", prefix="clfZ",
-                   capacity=None):
+                   capacity=None, beam_chunk=None):
     """Whole CLaSS round — GMM draw, classifier heads, accept test,
     c-prior and full-batch beam decode — as ONE program sharded over the
     mesh batch axis. Each device owns n/D candidates end to end (the round
@@ -240,7 +240,7 @@ def dp_fused_round(mesh, model, params, key, Q, n, beam_size=5,
     kind, q_params = Q._sampler()
 
     cache_key = (id(mesh), id(model), kind, n, beam_size, decode_dtype,
-                 axis, capacity)
+                 axis, capacity, beam_chunk)
     entry = _dp_round_cache.get(cache_key)
     fn = entry[0] if entry is not None else None
     if fn is None:
@@ -251,7 +251,7 @@ def dp_fused_round(mesh, model, params, key, Q, n, beam_size=5,
             return _round_body(model, params, key, kind, q_params, cw, cb,
                                tg, n, beam_size=beam_size,
                                decode_dtype=decode_dtype,
-                               capacity=capacity)
+                               capacity=capacity, beam_chunk=beam_chunk)
 
         n_out = 6 if capacity is None else 8
         fn = jax.jit(body,

@@ -156,6 +156,59 @@ def test_compact_round_matches_decode_all_accepted_subset(setup):
                                   np.asarray(tok_all)[acc_idx[:cap2]])
 
 
+def test_beam_chunk_slicing_is_bit_exact(setup):
+    """The production 50k-candidate rounds decode in <=beam_chunk-sentence
+    slices inside one program (a workaround for a TPU backend fault at
+    >25k-sentence beam kernels, see latent/fused.py + tools/
+    repro_beam_fault.py). The sliced branch must be bit-identical to the
+    single-kernel decode across a chunk boundary, in both decode modes."""
+    cfg, model, params, rf = setup
+    from controlled_peptide_generation_tpu.latent.fused import fused_round
+
+    D = model.z_dim
+    rng = np.random.default_rng(3)
+    mu = rng.normal(size=(200, D)).astype(np.float32)
+    lv = np.full((200, D), -1.0, np.float32)
+    Q = density.mogQ(mu, lv, n_components=4, z_num_samples=2,
+                     key=jax.random.PRNGKey(0))
+    w = jnp.zeros(D).at[0].set(1.0)
+    Q.init_attr_classifiers(
+        {"amp": logreg.LogRegParams(w=w, b=jnp.asarray(0.2)),
+         "tox": logreg.LogRegParams(w=-w, b=jnp.asarray(-0.1))},
+        {"amp": 1, "tox": 0})
+
+    key = jax.random.PRNGKey(13)
+    n = 64
+    # decode-all: 64 sentences in one kernel vs 24+24+16 slices
+    big = fused_round(model, params, key, Q, n, decode_dtype="float32")
+    small = fused_round(model, params, key, Q, n, decode_dtype="float32",
+                        beam_chunk=24)
+    for a, b in zip(big, small):
+        if isinstance(a, dict):
+            for k in a:
+                np.testing.assert_array_equal(np.asarray(a[k]),
+                                              np.asarray(b[k]))
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # accepted-only: capacity 40 decoded as 16+16+8 slices
+    big_c = fused_round(model, params, key, Q, n, decode_dtype="float32",
+                        capacity=40)
+    small_c = fused_round(model, params, key, Q, n, decode_dtype="float32",
+                          capacity=40, beam_chunk=16)
+    for a, b in zip(big_c[:4], small_c[:4]):
+        if isinstance(a, dict):
+            for k in a:
+                np.testing.assert_array_equal(np.asarray(a[k]),
+                                              np.asarray(b[k]))
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(big_c[4]),
+                                  np.asarray(small_c[4]))
+    np.testing.assert_array_equal(np.asarray(big_c[5]),
+                                  np.asarray(small_c[5]))
+
+
 def test_bf16_decode_quality_vs_fp32():
     """The CLaSS decode runs in bfloat16 (hw.gen_dtype). Quality gate:
     the fp32-rescored log-prob of bf16-decoded beam hypotheses must be
