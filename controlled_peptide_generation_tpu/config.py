@@ -334,6 +334,13 @@ def default_config():
         gen_dtype="bfloat16",  # CLaSS decode compute dtype (MXU-native;
                                # rejection + beam scores stay fp32);
                                # set float32 for bit-parity with the API
+        tfm_lane_budget_gb=4.0,  # transformer family: per-device HBM
+                                 # budget for fused-round KV-cache lanes
+                                 # (pipeline.transformer_dispatch_budget);
+                                 # the loop self-corrects on compile OOM
+        log_hbm_analysis=False,  # transformer family: AOT-probe the fused
+                                 # round's compiled HBM footprint and log
+                                 # the measured program-overhead factor
         profile_dir="",       # non-empty: jax.profiler trace of hot loops
         heldout_eval=True,    # heldout recon/KL at checkpoint boundaries
         log_flush_every=10,   # cheaplog boundaries per host metric fetch

@@ -128,6 +128,32 @@ _fused_round = partial(jax.jit, static_argnames=(
     "capacity", "beam_chunk"))(_round_body)
 
 
+def _clf_args(Q):
+    names = sorted(Q.attr_clfs)
+    clf_w = jnp.stack([Q.attr_clfs[a].w for a in names])
+    clf_b = jnp.stack([Q.attr_clfs[a].b for a in names])
+    targets = jnp.array([Q.clf_targets[a] for a in names])
+    return names, clf_w, clf_b, targets
+
+
+def round_memory_analysis(model, params, key, Q, n, beam_size=5,
+                          decode_dtype="bfloat16", capacity=None,
+                          beam_chunk=None):
+    """AOT-compile the fused round at this exact shape and return XLA's
+    memory analysis (temp/argument/output bytes) — turns the lane-budget
+    heuristic's "~6x program overhead" constant into measured data
+    (pipeline.transformer_dispatch_budget). With the persistent
+    compilation cache enabled (utils/runtime.setup), the executable is
+    reused by the immediately following identical dispatch, so the probe
+    costs one cache entry, not a doubled compile."""
+    _, clf_w, clf_b, targets = _clf_args(Q)
+    kind, q_params = Q._sampler()
+    lowered = _fused_round.lower(
+        model, params, key, kind, q_params, clf_w, clf_b, targets, n,
+        beam_size, decode_dtype, capacity, beam_chunk)
+    return lowered.compile().memory_analysis()
+
+
 def fused_round(model, params, key, Q, n, beam_size=5, prefix="clfZ",
                 decode_dtype="bfloat16", capacity=None, beam_chunk=None):
     """One dispatch: returns (z, scores dict, accept, tokens [n, T+1]).
@@ -135,10 +161,7 @@ def fused_round(model, params, key, Q, n, beam_size=5, prefix="clfZ",
     With capacity=K, only accepted candidates are beam-decoded (see module
     docstring); the return grows to (z, scores, accept, tokens [K, T+1],
     idx [K], valid [K]) and z/scores carry the K compacted rows."""
-    names = sorted(Q.attr_clfs)
-    clf_w = jnp.stack([Q.attr_clfs[a].w for a in names])
-    clf_b = jnp.stack([Q.attr_clfs[a].b for a in names])
-    targets = jnp.array([Q.clf_targets[a] for a in names])
+    names, clf_w, clf_b, targets = _clf_args(Q)
     kind, q_params = Q._sampler()
     out = _fused_round(
         model, params, key, kind, q_params, clf_w, clf_b, targets, n,

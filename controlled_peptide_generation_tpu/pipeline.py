@@ -38,6 +38,21 @@ Q_CLASS = density.mogQ
 Q_KWARGS = {"n_components": None, "z_num_samples": 10,
             "covariance_type": None}
 
+# --QClass resolution. The reference parses the flag but never reads it
+# (sample_pipeline.py:333 vs its module-level Q_CLASS at :36 — a dead
+# flag); here all three density families are fused-round compatible
+# (density.py exposes _sampler() on each), so the flag is live.
+Q_CLASSES = {"mogQ": density.mogQ, "fullQ": density.fullQ,
+             "gaussianQ": density.gaussianQ}
+
+
+def resolve_QClass(name):
+    try:
+        return Q_CLASSES[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown QClass {name!r}; one of {sorted(Q_CLASSES)}")
+
 
 # ---------------------------------------------------------------------------
 # encodings
@@ -101,9 +116,16 @@ def fitQ_and_test(cfg, QClass, QKwargs, Q_select=None, negative_select=None,
     else:
         mu, logvar = get_encodings_from_states(cfg, Q_select, "train")
 
-    qkw = {k: v for k, v in QKwargs.items() if v is not None}
+    # keep only the kwargs this Q family's __init__ accepts (mogQ takes
+    # n_components/covariance_type/..., fullQ and gaussianQ do not)
+    import inspect
+    accepts = set(inspect.signature(QClass.__init__).parameters)
+    qkw = {k: v for k, v in QKwargs.items()
+           if v is not None and k in accepts}
+    if "key" in accepts:
+        qkw["key"] = key
     Q = QClass(np.asarray(mu, np.float32), np.asarray(logvar, np.float32),
-               key=key, **qkw)
+               **qkw)
     if hasattr(Q, "info"):
         LOG.info("mog-%s. Converged: %s in %s iters, "
                  "log likelihood lower bound: %.4f",
@@ -182,6 +204,45 @@ def decode_from_z(z, model, params, dataset, key=None, chunk=1024,
         outs.append(top1[:chunk - pad] if pad else top1)
     tokens = np.concatenate(outs, axis=0)
     return dataset.idx2sentences(tokens, print_special_tokens=False)
+
+
+def transformer_dispatch_budget(cfg, model, n_dp=1):
+    """Max candidates per fused dispatch for the transformer decoder
+    family, or None when no clamp applies (GRU/deconv families).
+
+    Each beam lane of the transformer decoder carries a KV cache of
+    L*(T+1)*d_model values in the decode dtype (~70x the GRU hidden
+    state); a 50k-candidate fused dispatch at beam 5 wants ~20 GB of HBM
+    and dies at compile time. The budget (hw.tfm_lane_budget_gb, per
+    device) divides out a measured ~6x total-HBM-to-raw-cache program
+    overhead (attention temps, scan emissions, double buffering — a
+    25k-slot dispatch used 20 GB against 3.3 GB of raw cache; pass
+    hw.log_hbm_analysis=1 to re-measure the factor for a new shape).
+    Used by pipeline.run to clamp rounds_per_dispatch and by
+    serve.GenerationServer to cap burst round sizes — the two surfaces
+    must agree or a burst can compile-OOM the server."""
+    per_cand = transformer_cache_bytes_per_candidate(cfg, model)
+    if per_cand is None:
+        return None
+    lane_budget = int(cfg.hw.get("tfm_lane_budget_gb", 4.0)
+                      * 2**30) * max(int(n_dp), 1)
+    return max(int(lane_budget / max(6 * per_cand, 1)), 1)
+
+
+def transformer_cache_bytes_per_candidate(cfg, model):
+    """Raw KV-cache bytes one candidate's beam lanes carry through a fused
+    round, or None for non-transformer families. The 6x program-overhead
+    factor is applied by transformer_dispatch_budget, not here."""
+    if getattr(model, "G_class", "gru") != "transformer":
+        return None
+    t_args = model.dec_tfm_args
+    dt_bytes = jnp.dtype(cfg.hw.get("gen_dtype", "bfloat16")).itemsize
+    cache_bytes = (t_args.get("n_layers", 2)
+                   * (model.max_seq_len + 1)
+                   * t_args.get("d_model", 128) * 2 * dt_bytes)
+    cap = float(cfg.hw.get("accept_cap_frac", 0.5))
+    return cache_bytes * DECODE_BEAM_SIZE * (
+        cap if cfg.hw.get("decode_mode", "all") == "accepted" else 1.0)
 
 
 def round_capacity(cfg, n_samples, mesh=None):
@@ -341,10 +402,11 @@ def run(cfg, args):
         if hasattr(args, "Q_" + k):
             qkwargs[k] = getattr(args, "Q_" + k)
 
+    QClass = resolve_QClass(getattr(args, "QClass", "mogQ"))
     q_select = {"amp": 1} if args.Q_select_amppos else {}
     key = jax.random.PRNGKey(cfg.seed)
     Q, q_metrics = fitQ_and_test(
-        cfg, Q_CLASS, qkwargs, q_select, {},
+        cfg, QClass, qkwargs, q_select, {},
         model if args.Q_from_full_dataloader else None,
         params if args.Q_from_full_dataloader else None,
         dataset if args.Q_from_full_dataloader else None,
@@ -365,28 +427,11 @@ def run(cfg, args):
     # (~150 ms RTT each), so drawing R rounds' worth of candidates in one
     # program amortizes it (distribution-identical; host dedup unchanged)
     rpd = max(int(cfg.hw.get("rounds_per_dispatch", 1)), 1)
-    if getattr(model, "G_class", "gru") == "transformer":
-        # each beam lane of the transformer decoder carries a KV cache of
-        # L*(T+1)*d_model values in the decode dtype (~70x the GRU hidden
-        # state); a 50k-candidate fused dispatch at beam 5 wants ~20 GB
-        # of HBM and dies at compile time. Clamp the dispatch to a lane
-        # budget and let the loop issue more (async) dispatches instead.
-        t_args = model.dec_tfm_args
-        dt_bytes = jnp.dtype(cfg.hw.get("gen_dtype", "bfloat16")).itemsize
-        cache_bytes = (t_args.get("n_layers", 2)
-                       * (model.max_seq_len + 1)
-                       * t_args.get("d_model", 128) * 2 * dt_bytes)
-        cap = float(cfg.hw.get("accept_cap_frac", 0.5))
-        # per-DEVICE budget: dp_fused_round shards the lanes over the mesh
-        lane_budget = int(cfg.hw.get("tfm_lane_budget_gb", 4.0)
-                          * 2**30) * n_dp
-        # ~6x: measured total-HBM-to-raw-cache ratio of the compiled
-        # round (attention temps, scan emissions, double buffering) — a
-        # 25k-slot dispatch used 20 GB against 3.3 GB of raw cache
-        per_cand = 6 * cache_bytes * DECODE_BEAM_SIZE * (
-            cap if cfg.hw.get("decode_mode", "all") == "accepted" else 1.0)
-        max_rpd = max(int(lane_budget / max(per_cand, 1)
-                          / args.n_samples_per_round), 1)
+    budget = transformer_dispatch_budget(cfg, model, n_dp)
+    if budget is not None:
+        # clamp the dispatch to the per-device lane budget and let the
+        # loop issue more (async) dispatches instead
+        max_rpd = max(budget // args.n_samples_per_round, 1)
         if rpd > max_rpd:
             LOG.info("transformer decoder: clamping rounds_per_dispatch "
                      "%d -> %d (KV-cache lane budget %.1f GB x %d devices)",
@@ -401,6 +446,31 @@ def run(cfg, args):
 
     fused = cfg.hw.get("fused_rounds", True)
     round_size = args.n_samples_per_round * rpd
+    if (budget is not None and mesh is None and fused
+            and cfg.hw.get("log_hbm_analysis", False)):
+        # measure the lane-budget heuristic's "~6x program overhead"
+        # factor for this exact shape (fused.round_memory_analysis); with
+        # the persistent compile cache on, the loop below reuses the
+        # compiled executable
+        try:
+            from .latent import fused as fused_mod
+            mem = fused_mod.round_memory_analysis(
+                model, params, jax.random.fold_in(key, 1), Q, round_size,
+                beam_size=DECODE_BEAM_SIZE,
+                decode_dtype=cfg.hw.get("gen_dtype", "bfloat16"),
+                capacity=round_capacity(cfg, round_size, mesh))
+            total = (mem.temp_size_in_bytes + mem.argument_size_in_bytes
+                     + mem.output_size_in_bytes)
+            raw = (transformer_cache_bytes_per_candidate(cfg, model)
+                   * round_size)
+            LOG.info("fused-round HBM analysis @ %d candidates: "
+                     "temp %.2f GB, args %.2f GB, out %.2f GB; "
+                     "total/raw-KV-cache factor %.1fx (heuristic uses 6x)",
+                     round_size, mem.temp_size_in_bytes / 2**30,
+                     mem.argument_size_in_bytes / 2**30,
+                     mem.output_size_in_bytes / 2**30, total / max(raw, 1))
+        except Exception as e:  # probe is advisory, never fatal
+            LOG.info("HBM analysis unavailable: %s", e)
     if fused:
         samples = _fused_sampling_loop(cfg, args, model, params, dataset,
                                        Q, key, round_size, mesh)
@@ -496,13 +566,36 @@ def _fused_sampling_loop(cfg, args, model, params, dataset, Q, key,
     inflight = deque()
 
     def launch_one():
-        nonlocal round_ix
+        nonlocal round_ix, round_size
         round_ix += 1
         LOG.info("Round #%d (x%d candidates per dispatch)", round_ix,
                  round_size)
-        out = launch_round(
-            cfg, model, params, Q, round_size,
-            jax.random.fold_in(key, round_ix), fused=True, mesh=mesh)
+        # Self-correcting HBM clamp: the transformer lane-budget estimate
+        # (transformer_dispatch_budget) is a measured heuristic — if a
+        # shape's true program-overhead factor exceeds it, the compile
+        # OOMs here (jit compiles synchronously on first call). Halve the
+        # dispatch and retry instead of dying; subsequent rounds reuse the
+        # smaller shape. Bounded: gives up once a dispatch can't shrink.
+        while True:
+            try:
+                out = launch_round(
+                    cfg, model, params, Q, round_size,
+                    jax.random.fold_in(key, round_ix), fused=True,
+                    mesh=mesh)
+                break
+            except Exception as e:
+                oom = ("RESOURCE_EXHAUSTED" in str(e)
+                       or "Out of memory" in str(e))
+                shrink = round_size // 2
+                if mesh is not None:
+                    shrink -= shrink % mesh.devices.size
+                if not oom or shrink < 1:
+                    raise
+                LOG.warning(
+                    "fused round OOM at %d candidates/dispatch; "
+                    "retrying at %d (tune hw.tfm_lane_budget_gb)",
+                    round_size, shrink)
+                round_size = shrink
         # start the D2H copies NOW for everything except z: over a
         # tunneled TPU the transfers are a large slice of the round
         # (~15-25 MB/s measured), so (a) async copies run behind the
@@ -585,14 +678,14 @@ def _fused_sampling_loop(cfg, args, model, params, dataset, Q, key,
         n_accept += int(accept_z[keep].sum())
         n_cand_seen += n_candidates
         n_accept_z_seen += int(accept_full.sum())
-        if valid_d is None:
-            _log_round_rates(n_accept, n_accept, n_total,
-                             keep.size - int(keep.sum()))
-        else:
-            # accepted-only decode: rate denominators are the candidates
-            # drawn, since rejected ones are never materialized host-side
-            _log_round_rates(n_accept_z_seen, n_accept, n_cand_seen,
-                             keep.size - int(keep.sum()))
+        # Rate denominators are the CANDIDATES DRAWN in both decode modes,
+        # so decode-all and accepted-only print comparable numbers. (The
+        # reference literally divides by its accumulated post-dedup row
+        # count, sample_pipeline.py:319-322 — at its low duplicate rates
+        # the two definitions coincide; the serial fallback loop below
+        # keeps the reference-literal form.)
+        _log_round_rates(n_accept_z_seen, n_accept, n_cand_seen,
+                         keep.size - int(keep.sum()))
         if n_total >= args.n_samples_acc and n_accept >= args.n_samples_acc:
             break
 

@@ -52,14 +52,16 @@ LOG = logging.getLogger("GenerationServer")
 
 class _Request:
     """One client's outstanding demand: filled by the worker, waited on by
-    the client thread."""
+    the client thread. ``failed`` marks a request cancelled by stop() so
+    generate() raises instead of returning a short row list."""
 
-    __slots__ = ("n", "rows", "event")
+    __slots__ = ("n", "rows", "event", "failed")
 
     def __init__(self, n):
         self.n = n
         self.rows = []
         self.event = threading.Event()
+        self.failed = False
 
 
 class GenerationServer:
@@ -82,6 +84,15 @@ class GenerationServer:
         self._key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
         self._seen = set()
         self._queue = deque()          # FIFO of _Request
+        # unique accepted rows nobody consumed (a timed-out request's
+        # partial fill): handed to the next request before new rounds run,
+        # so globally-deduped peptides are never permanently unservable
+        self._spare = deque()
+        # transformer family: cap per-dispatch candidates to the same
+        # KV-cache lane budget pipeline.run enforces — without it a burst
+        # of demand can pull a 4x round that compile-OOMs the server
+        self._max_candidates = pipeline.transformer_dispatch_budget(
+            cfg, model, n_dp=1 if mesh is None else mesh.devices.size)
         self._lock = threading.Lock()
         self._wake = threading.Condition(self._lock)
         self._running = False
@@ -109,35 +120,48 @@ class GenerationServer:
         if self._worker is not None:
             self._worker.join(timeout)
             self._worker = None
-        # fail any requests still waiting (their rows stay partial)
+        # cancel any requests still waiting: mark failed so generate()
+        # raises instead of returning a short row list as success
         with self._lock:
             while self._queue:
-                self._queue.popleft().event.set()
+                req = self._queue.popleft()
+                req.failed = True
+                req.event.set()
 
     # -- client API ---------------------------------------------------------
 
     def generate(self, n, timeout=None):
         """Block until n accepted, globally-unique peptides are available;
         returns a list of row dicts (peptide, scores, physchem). Raises
-        TimeoutError on timeout; ValueError on a non-positive n."""
+        TimeoutError on timeout, RuntimeError if the server stops before
+        the request completes, ValueError on a non-positive n."""
         n = int(n)
         if n <= 0:
             raise ValueError(f"n must be positive, got {n}")
         req = _Request(n)
         with self._wake:
-            assert self._running, "server not started"
+            if not self._running:
+                raise RuntimeError("server not running")
             self._queue.append(req)
             self._wake.notify_all()
         if not req.event.wait(timeout):
             with self._lock:
                 try:
                     self._queue.remove(req)
+                    # recycle the partial fill: these rows are already
+                    # globally deduped, so dropping them would make those
+                    # peptides permanently unservable
+                    self._spare.extend(req.rows)
+                    req.rows = []
                 except ValueError:
                     pass  # worker completed it between wait() and here
-            if req.event.is_set():
-                return req.rows
-            raise TimeoutError(
-                f"generate({n}) timed out after {timeout}s "
+            if not req.event.is_set():
+                raise TimeoutError(
+                    f"generate({n}) timed out after {timeout}s "
+                    f"(0 of {n} delivered; partial fill recycled)")
+        if req.failed:
+            raise RuntimeError(
+                f"server stopped with generate({n}) incomplete "
                 f"({len(req.rows)} of {n} ready)")
         return req.rows
 
@@ -146,46 +170,91 @@ class GenerationServer:
     def _outstanding(self):
         return sum(r.n - len(r.rows) for r in self._queue)
 
+    def _distribute_locked(self, rows):
+        """Hand rows to queued requests FIFO (caller holds the lock).
+        Undelivered rows go to the spare buffer instead of being dropped:
+        they are already in the global dedup set. 'served' counts only
+        COMPLETED requests (a timed-out request's recycled rows would
+        otherwise inflate throughput stats)."""
+        for i, row in enumerate(rows):
+            if not self._queue:
+                self._spare.extend(rows[i:])
+                return
+            req = self._queue[0]
+            req.rows.append(row)
+            if len(req.rows) >= req.n:
+                self.stats["served"] += req.n
+                self._queue.popleft()
+                req.event.set()
+
     def _worker_loop(self):
         while True:
             with self._wake:
-                while self._running and self._outstanding() == 0:
+                while True:
+                    # recycled rows (timed-out requests' partial fills)
+                    # satisfy queued demand without any device work
+                    if self._spare and self._queue:
+                        spare, self._spare = list(self._spare), deque()
+                        self._distribute_locked(spare)
+                    if not self._running:
+                        return
+                    if self._outstanding() > 0:
+                        break
                     self._wake.wait()
-                if not self._running:
-                    return
                 demand = self._outstanding()
             rows = self._run_round(demand)
             with self._wake:
-                for row in rows:
-                    if not self._queue:
-                        break  # extra accepted rows: dropped (stay deduped)
-                    req = self._queue[0]
-                    req.rows.append(row)
-                    self.stats["served"] += 1
-                    if len(req.rows) >= req.n:
-                        self._queue.popleft()
-                        req.event.set()
+                self._distribute_locked(rows)
 
     def _round_sizes(self, demand):
         """Candidate count for the next fused round: sized to outstanding
         demand at the observed acceptance rate (2x headroom for dedup and
         rate noise), clamped to [1, 4] compiled round shapes — powers of
         round_size keep the jit cache tiny while letting a big burst of
-        demand pull a big round."""
+        demand pull a big round. For the transformer family the burst is
+        further capped to the same KV-cache lane budget pipeline.run
+        enforces (pipeline.transformer_dispatch_budget) so a big dispatch
+        can't compile-OOM the server."""
         acc = self.stats["accepted"] / max(self.stats["candidates"], 1)
         acc = max(acc, 0.05)  # before any data, assume a lean 5%
         want = int(2 * demand / acc)
         mult = max(1, min(4, -(-want // self.round_size)))
-        return mult * self.round_size
+        n = mult * self.round_size
+        cap = self._max_candidates
+        if cap is not None and n > cap:
+            n = max((cap // self.round_size) * self.round_size,
+                    min(cap, self.round_size))
+            if self.mesh is not None:
+                n -= n % self.mesh.devices.size
+            n = max(n, 1)
+        return n
 
     def _run_round(self, demand):
         n = self._round_sizes(demand)
         self._round_ix += 1
         t0 = time.perf_counter()
-        z, scores, accept, tokens, _idx, valid = pipeline.launch_round(
-            self.cfg, self.model, self.params, self.Q, n,
-            jax.random.fold_in(self._key, self._round_ix),
-            fused=True, mesh=self.mesh)
+        # lane-budget backstop, mirroring the batch loop's self-correcting
+        # clamp (pipeline._fused_sampling_loop): halve and retry on a
+        # compile OOM instead of killing the worker thread
+        while True:
+            try:
+                z, scores, accept, tokens, _idx, valid = \
+                    pipeline.launch_round(
+                        self.cfg, self.model, self.params, self.Q, n,
+                        jax.random.fold_in(self._key, self._round_ix),
+                        fused=True, mesh=self.mesh)
+                break
+            except Exception as e:
+                oom = ("RESOURCE_EXHAUSTED" in str(e)
+                       or "Out of memory" in str(e))
+                shrink = n // 2
+                if self.mesh is not None:
+                    shrink -= shrink % self.mesh.devices.size
+                if not oom or shrink < 1:
+                    raise
+                LOG.warning("round OOM at %d candidates; retrying at %d",
+                            n, shrink)
+                self._max_candidates = n = shrink
         tokens_np = np.asarray(tokens)
         accept_np = np.asarray(accept)
         scores_np = {k: np.asarray(v) for k, v in scores.items()}
@@ -285,19 +354,28 @@ def make_http_server(server, host="127.0.0.1", port=8800,
             if self.path != "/generate":
                 self._json(404, {"error": f"no route {self.path}"})
                 return
+            # client errors (malformed JSON, non-numeric/absurd n, null
+            # timeout) are 400s; only server-side failures return 500
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 payload = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(payload, dict):
+                    raise ValueError("body must be a JSON object")
                 n = int(payload.get("n", 1))
-                if not (0 < n <= max_n):
-                    self._json(400, {"error": f"n must be in [1, {max_n}]"})
-                    return
-                rows = server.generate(
-                    n, timeout=float(payload.get("timeout",
-                                                 request_timeout)))
+                timeout = float(payload.get("timeout", request_timeout))
+            except (json.JSONDecodeError, ValueError, TypeError) as e:
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+            if not (0 < n <= max_n):
+                self._json(400, {"error": f"n must be in [1, {max_n}]"})
+                return
+            try:
+                rows = server.generate(n, timeout=timeout)
                 self._json(200, {"n": len(rows), "samples": rows})
             except TimeoutError as e:
                 self._json(504, {"error": str(e)})
+            except RuntimeError as e:  # server stopped mid-request
+                self._json(503, {"error": str(e)})
             except Exception as e:  # pragma: no cover - defensive
                 LOG.exception("generate failed")
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
@@ -328,9 +406,10 @@ def build_server(cfg, args):
     for k in qkwargs:
         if hasattr(args, "Q_" + k):
             qkwargs[k] = getattr(args, "Q_" + k)
+    QClass = pipeline.resolve_QClass(getattr(args, "QClass", "mogQ"))
     q_select = {"amp": 1} if args.Q_select_amppos else {}
     key = jax.random.PRNGKey(cfg.seed)
-    Q, _ = pipeline.fitQ_and_test(cfg, pipeline.Q_CLASS, qkwargs, q_select,
+    Q, _ = pipeline.fitQ_and_test(cfg, QClass, qkwargs, q_select,
                                   {}, key=key)
     z_clfs = {attr: pipeline.build_clfZ(cfg, attr, spec["attributes"])
               for attr in ["amp", "tox"]}

@@ -246,3 +246,48 @@ def test_pipeline_dp_mesh_accepted_only(trained_run):
     df = pd.read_pickle(outfn + ".pkl")
     assert df["accept"].all() and len(df) >= 5
     assert df["peptide"].is_unique
+
+
+@pytest.mark.parametrize("qclass", ["fullQ", "gaussianQ"])
+def test_pipeline_qclass_live(trained_run, qclass):
+    """--QClass selects the density family end to end. The reference
+    parses the flag but never reads it (sample_pipeline.py:333 vs its
+    module-level Q_CLASS at :36); here all three families are
+    fused-round compatible, so the flag is live."""
+    cfg, _ = trained_run
+    model, params, vocab, base = _load(cfg)
+    dataset = main_mod.load_dataset(cfg)
+    build_index.extract_from_dataset(
+        model, params, vocab, cfg, dataset, base, cfg.vae.n_iter,
+        max_examples=300)
+    args = argparse.Namespace(
+        QClass=qclass,
+        Q_n_components=4, Q_covariance_type="diag",
+        n_samples_per_round=64, n_samples_acc=5,
+        samples_outfn_prefix=f"qc_{qclass}",
+        Q_select_amppos=0, Q_from_full_dataloader=False)
+    outfn = pipeline.run(cfg, args)
+    import pandas as pd
+    df = pd.read_pickle(outfn + ".pkl")
+    assert df["accept"].sum() >= 5
+
+
+def test_resolve_qclass():
+    assert pipeline.resolve_QClass("mogQ").__name__ == "mogQ"
+    assert pipeline.resolve_QClass("fullQ").__name__ == "fullQ"
+    assert pipeline.resolve_QClass("gaussianQ").__name__ == "gaussianQ"
+    with pytest.raises(ValueError, match="unknown QClass"):
+        pipeline.resolve_QClass("nopeQ")
+
+
+def test_fitQ_and_test_filters_kwargs_per_class(trained_run):
+    """fitQ_and_test drops mogQ-only kwargs for families whose __init__
+    doesn't accept them (fullQ/gaussianQ), instead of crashing."""
+    cfg, _ = trained_run
+    from controlled_peptide_generation_tpu.latent import density
+    qkw = {"n_components": 4, "z_num_samples": 10,
+           "covariance_type": "diag"}
+    for QClass in (density.fullQ, density.gaussianQ):
+        Q, metrics = pipeline.fitQ_and_test(cfg, QClass, qkw, {})
+        assert isinstance(Q, QClass)
+        assert set(metrics) == {"a,tr", "a,hld"}

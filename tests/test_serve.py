@@ -130,3 +130,76 @@ def test_http_api(server):
         assert ei.value.code == 404
     finally:
         httpd.shutdown()
+
+
+def test_stop_fails_queued_requests():
+    """stop() must make a blocked generate() raise, not return fewer than
+    n rows as an apparent success."""
+    import time
+    import types
+
+    class _EmptyRounds(S.GenerationServer):
+        # device-side members are never touched: rounds yield nothing,
+        # so a generate() stays queued until stop() cancels it
+        def _run_round(self, demand):
+            time.sleep(0.05)
+            return []
+
+    srv = _EmptyRounds(
+        cfg=types.SimpleNamespace(seed=0, hw=C.default_config().hw),
+        model=types.SimpleNamespace(G_class="gru"), params=None,
+        dataset=None, Q=None, round_size=8)
+    srv.start()
+    errs = {}
+
+    def ask():
+        try:
+            srv.generate(5, timeout=30)
+        except Exception as e:
+            errs["e"] = e
+
+    t = threading.Thread(target=ask)
+    t.start()
+    time.sleep(0.3)  # let the request enqueue
+    srv.stop()
+    t.join(10)
+    assert isinstance(errs.get("e"), RuntimeError)
+    # a post-stop generate() raises instead of hanging
+    with pytest.raises(RuntimeError):
+        srv.generate(1, timeout=1)
+
+
+def test_timeout_recycles_partial_rows(server):
+    """A timed-out request's rows go to the spare buffer and are handed to
+    the next request without new device work (they are already deduped)."""
+    # seed the spare buffer as a timed-out request would
+    fake_rows = [{"peptide": f"__SPARE_{i}__", "H": 0.0, "uH": 0.0,
+                  "charge": 0.0} for i in range(3)]
+    with server._lock:
+        # earlier tests' timed-out requests may have left real recycled
+        # rows; clear so this test observes only its seeded ones
+        server._spare.clear()
+        server._spare.extend(fake_rows)
+        rounds_before = server.stats["rounds"]
+    rows = server.generate(3, timeout=300)
+    assert [r["peptide"] for r in rows] == [r["peptide"] for r in fake_rows]
+    assert server.stats["rounds"] == rounds_before  # no device round ran
+
+
+def test_http_client_errors_are_400(server):
+    httpd = S.make_http_server(server, host="127.0.0.1", port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{port}/generate"
+    try:
+        for body in (b"{not json", json.dumps({"n": "abc"}).encode(),
+                     json.dumps({"n": 1, "timeout": None}).encode(),
+                     json.dumps([1, 2]).encode()):
+            req = urllib.request.Request(
+                url, data=body, headers={"Content-Type": "application/json"})
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=30)
+            assert ei.value.code == 400, body
+    finally:
+        httpd.shutdown()
