@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from controlled_peptide_generation_tpu import config as C
 from controlled_peptide_generation_tpu.models import build_model
 from controlled_peptide_generation_tpu.ops.beam import beam_search

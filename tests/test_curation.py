@@ -6,6 +6,8 @@ import os
 import pandas as pd
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from controlled_peptide_generation_tpu.data import curation
 
 

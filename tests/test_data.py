@@ -1,6 +1,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from controlled_peptide_generation_tpu import config as C
 from controlled_peptide_generation_tpu.data import (
     AttributeDataLoader, Vocab, UNK_IDX, PAD_IDX, START_IDX, EOS_IDX)

@@ -1,3 +1,7 @@
+
+import pytest
+
+pytestmark = pytest.mark.quick
 import numpy as np
 import pandas as pd
 

@@ -57,6 +57,7 @@ def test_train_scan_equals_sequential_steps(setup):
     assert abs(float(m1["L_vae"]) - float(m2["L_vae"])) < 1e-5
 
 
+@pytest.mark.quick
 def test_fused_round_equals_composed_stages(setup):
     cfg, model, params, rf = setup
     from controlled_peptide_generation_tpu.latent import gmm

@@ -5,6 +5,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.quick
 from sklearn.linear_model import LogisticRegression
 from sklearn.mixture import GaussianMixture
 import scipy.stats
