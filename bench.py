@@ -465,6 +465,364 @@ def bench_class(cfg, model, params, n_per_round=5000, min_accepted=100,
     return rate, acc_b / dt_b
 
 
+# ---------------------------------------------------------------------------
+# MFU / roofline accounting (--mfu; included in --all on TPU)
+#
+# Analytic FLOP counts (MAC = 2 flops; elementwise gate math excluded,
+# <2% at these shapes) x measured DEVICE time -> achieved FLOP/s and % of
+# chip peak per workload, at the reference shape and along a batch sweep
+# to the throughput knee. Device time is measured by chaining the workload
+# body N times inside ONE program (lax.scan over folded keys) and
+# subtracting the measured null-dispatch RTT, so the tunnel's
+# per-dispatch latency does not pollute the numbers. XLA's own
+# cost_analysis is NOT used: on this backend it counts scan bodies once
+# (verified: an 8-iteration scan of a 512x512 matmul reports ~1x the
+# single matmul's flops), and every hot workload here is a scan.
+# ---------------------------------------------------------------------------
+
+_CHIP_PEAKS = {  # device_kind substring -> (bf16 peak FLOP/s, HBM B/s)
+    "v5 lite": (197e12, 819e9),   # v5e ("How to Scale Your Model" specs)
+    "v5e": (197e12, 819e9),
+    "v5p": (459e12, 2765e9),
+    "v4": (275e12, 1228e9),
+    "v6": (918e12, 1640e9),
+}
+
+
+def chip_peaks():
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, peaks in _CHIP_PEAKS.items():
+        if sub in kind:
+            return kind, peaks
+    return kind, (None, None)
+
+
+def _gru_cell_flops(d_in, h):
+    """One GRU cell application per sample per step:
+    x@Wx [d_in,3h] + h@Wh [h,3h]."""
+    return 2 * (d_in * 3 * h + h * 3 * h)
+
+
+def _dims(cfg, model):
+    return dict(V=model.n_vocab, T=model.max_seq_len, E=model.emb_dim,
+                Z=model.z_dim, C=model.c_dim,
+                He=cfg.model.E_args.get("h_dim", 80), Hd=model.h_dec,
+                RF=cfg.losses.wae_mmd.rf_dim)
+
+
+def flops_vae_fwd(cfg, model, B):
+    """One teacher-forced forward: biGRU encoder (T steps x 2 dirs) +
+    mu/logvar heads + GRU decoder (input [emb,z,c]) + vocab head +
+    RF-MMD features on q and prior samples."""
+    d = _dims(cfg, model)
+    enc = 2 * d["T"] * _gru_cell_flops(d["E"], d["He"])
+    heads = 2 * 2 * (2 * d["He"]) * d["Z"]
+    dec = d["T"] * (_gru_cell_flops(d["E"] + d["Z"] + d["C"], d["Hd"])
+                    + 2 * d["Hd"] * d["V"])
+    rf = 2 * 2 * d["Z"] * d["RF"]
+    return B * (enc + heads + dec + rf)
+
+
+def _clf_flops(cfg, model, B):
+    """Kim-CNN classifier: conv widths 3..5 x 100 filters over [T, E]."""
+    d = _dims(cfg, model)
+    widths = cfg.model.C_args.get("filter_widths", (3, 4, 5))
+    n_f = cfg.model.C_args.get("n_filters", 100)
+    conv = sum(2 * d["T"] * w * d["E"] * n_f for w in widths)
+    return B * (conv + 2 * len(widths) * n_f * 2)
+
+
+def flops_train_step(cfg, model, B):
+    """Phase-1 step = forward + backward; backward ~= 2x forward (dL/dW
+    and dL/dx matmul pairs). Optimizer elementwise excluded."""
+    return 3 * flops_vae_fwd(cfg, model, B)
+
+
+def flops_full_step(cfg, model, B):
+    """Phase-2 iteration = 3 sub-updates (train/train_full.py): VAE update
+    (fwd+bwd), generator update (free-running soft decode + classifier
+    feedback, fwd+bwd), classifier update on real+generated batches."""
+    dec_clf = (flops_vae_fwd(cfg, model, B) / 2  # decoder-side free run
+               + _clf_flops(cfg, model, B))
+    return (3 * flops_vae_fwd(cfg, model, B)
+            + 3 * dec_clf
+            + 3 * 2 * _clf_flops(cfg, model, B))
+
+
+def flops_beam(cfg, model, B, K=5):
+    """Batched beam: B*K lanes x T steps of the single-token decoder cell
+    + vocab head (GRU family), or the KV-cache incremental transformer
+    block stack (transformer family; self-attn over the cache averages
+    t=T/2, cross-attn K/V precomputed once per lane)."""
+    d = _dims(cfg, model)
+    if getattr(model, "G_class", "gru") == "transformer":
+        t = model.dec_tfm_args
+        D, L = t.get("d_model", 128), t.get("n_layers", 2)
+        FF = t.get("d_ff", 4 * D)
+        per_tok_layer = (2 * 3 * D * D + 2 * D * D      # self qkv + out
+                         + 2 * 2 * (d["T"] / 2) * D     # self attn w/ cache
+                         + 2 * D * D + 2 * D * D        # cross q + out
+                         + 2 * 2 * d["T"] * D           # cross attn
+                         + 2 * 2 * D * FF)              # ffn
+        per_lane = d["T"] * (L * per_tok_layer + 2 * D * d["V"])
+        cross_kv = 2 * 2 * d["T"] * D * D * L           # once per lane
+        return B * K * (per_lane + cross_kv)
+    per_lane_step = (_gru_cell_flops(d["E"] + d["Z"] + d["C"], d["Hd"])
+                     + 2 * d["Hd"] * d["V"])
+    return B * K * d["T"] * per_lane_step
+
+
+def bytes_beam(cfg, model, B, K=5, dtype_bytes=2):
+    """Minimum HBM traffic of the GRU beam recurrence: per lane-step the
+    loop-invariant token-table gather row [3Hd], hidden read+write [Hd],
+    fp32 logits [V], plus O(K) bookkeeping. Weights (<1 MB) live in VMEM
+    across the scan and are excluded."""
+    d = _dims(cfg, model)
+    per = (3 * d["Hd"] * dtype_bytes + 2 * d["Hd"] * dtype_bytes
+           + d["V"] * 4 + 64)
+    return B * K * d["T"] * per
+
+
+def flops_transformer_train(cfg, model, B):
+    """6 * matmul-params * tokens (fwd+bwd), plus attention score flops."""
+    d = _dims(cfg, model)
+    te, td = model.enc_tfm_args, model.dec_tfm_args
+    De, Le = te.get("d_model", 128), te.get("n_layers", 2)
+    Dd, Ld = td.get("d_model", 128), td.get("n_layers", 2)
+    FFe, FFd = te.get("d_ff", 4 * De), td.get("d_ff", 4 * Dd)
+    p_enc = Le * (4 * De * De + 2 * De * FFe)
+    p_dec = Ld * (8 * Dd * Dd + 2 * Dd * FFd)   # self + cross
+    p_head = Dd * d["V"]
+    attn = (Le + 2 * Ld) * 2 * 2 * d["T"] * d["T"] * max(De, Dd)
+    return B * (6 * d["T"] * (p_enc + p_dec + p_head) + 3 * attn)
+
+
+def _null_rtt(n=7):
+    import jax
+    import jax.numpy as jnp
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros(())
+    jax.block_until_ready(f(x))
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(x))
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[n // 2]
+
+
+def device_time(body, iters, key=None, reps=3):
+    """Per-iteration device seconds of body(key): iters chained
+    repetitions inside ONE program, minus the null-dispatch RTT, best of
+    reps dispatches."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(17) if key is None else key
+
+    def rep(k):
+        def step(carry, i):
+            out = body(jax.random.fold_in(k, i))
+            s = jnp.float32(0)
+            for leaf in jax.tree.leaves(out):
+                s = s + jnp.sum(leaf.astype(jnp.float32))
+            return carry + s, None
+        tot, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(iters))
+        return tot
+
+    f = jax.jit(rep)
+    jax.block_until_ready(f(key))  # compile
+    rtt = _null_rtt()
+    walls = []
+    for r in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(jax.random.fold_in(key, 1000 + r)))
+        walls.append(time.perf_counter() - t0)
+    return max(min(walls) - rtt, 1e-9) / iters
+
+
+def _mfu_row(rows, name, flop, dev_s, peak_flops, peak_bw=None,
+             bytes_=None, per=None, per_unit=None, note=""):
+    row = {"workload": name, "device_ms": round(dev_s * 1e3, 3),
+           "gflop": round(flop / 1e9, 3),
+           "tflops": round(flop / dev_s / 1e12, 4)}
+    if peak_flops:
+        row["mfu_pct"] = round(100 * flop / dev_s / peak_flops, 3)
+    if bytes_ is not None and peak_bw:
+        row["gbytes"] = round(bytes_ / 1e9, 3)
+        row["gb_per_s"] = round(bytes_ / dev_s / 1e9, 1)
+        row["bw_pct"] = round(100 * bytes_ / dev_s / peak_bw, 2)
+    if per is not None:
+        row[per_unit] = round(per, 1)
+    if note:
+        row["note"] = note
+    rows.append(row)
+    log("  " + json.dumps(row))
+    return row
+
+
+def bench_mfu(cfg, model, params, fast=False):
+    """The roofline table: analytic FLOPs x measured device time for every
+    hot workload, at reference shapes and along batch sweeps to the knee.
+    Returns {chip, peaks, rows}."""
+    import jax
+    import jax.numpy as jnp
+    from controlled_peptide_generation_tpu.ops import losses as L
+    from controlled_peptide_generation_tpu.ops import nn
+    from controlled_peptide_generation_tpu.ops.beam import beam_search
+    from controlled_peptide_generation_tpu.train.train_vae import (
+        make_train_scan)
+
+    kind, (peak_f, peak_bw) = chip_peaks()
+    log(f"MFU accounting on {kind!r}: bf16 peak "
+        f"{(peak_f or 0) / 1e12:.0f} TFLOP/s, HBM {(peak_bw or 0) / 1e9:.0f} "
+        f"GB/s (fp32 rows are reported against the same bf16 peak)")
+    rows = []
+    rtt = _null_rtt()
+    log(f"null-dispatch RTT: {rtt * 1e3:.1f} ms (subtracted)")
+
+    # --- phase-1 train step: reference batch 32 + sweep to the knee ---
+    rf = L.init_rf_basis(jax.random.PRNGKey(1), model.z_dim,
+                         cfg.losses.wae_mmd.rf_dim)
+    unroll = 50
+    for B in ((32,) if fast else (32, 256, 1024)):
+        chunk_step, opt = make_train_scan(model, cfg.vae, cfg.losses, rf,
+                                          unroll, donate=True)
+        p = jax.tree.map(jnp.copy, params)
+        o = opt.init(p)
+        text = jax.random.randint(jax.random.PRNGKey(2),
+                                  (unroll, B, model.max_seq_len), 4,
+                                  model.n_vocab, jnp.int32)
+        text = text.at[..., 0].set(2).at[..., 12].set(3)
+        p2, o2, _ = chunk_step(p, o, jax.random.PRNGKey(3), text,
+                               jnp.asarray(0, jnp.int32))
+        jax.block_until_ready(p2)
+        # chain dispatches WITHOUT intermediate syncs (the production loop
+        # syncs only at log boundaries; a per-dispatch block_until_ready
+        # pays a tunnel sync the real loop never does), one block at the end
+        n_disp = 4
+        walls = []
+        for rep in range(3):
+            t0 = time.perf_counter()
+            for r in range(n_disp):
+                p2, o2, _ = chunk_step(p2, o2, jax.random.fold_in(
+                    jax.random.PRNGKey(3), rep * n_disp + r), text,
+                    jnp.asarray(r, jnp.int32))
+            jax.block_until_ready(p2)
+            walls.append(time.perf_counter() - t0)
+        dev_s = max(min(walls) - rtt, 1e-9) / (n_disp * unroll)
+        fl = flops_train_step(cfg, model, B)
+        _mfu_row(rows, f"wae_train_step_b{B}", fl, dev_s, peak_f,
+                 per=B / dev_s, per_unit="seqs_per_s")
+
+    # --- beam decode: fp32 + bf16 along the chunk sweep ---
+    for chunk in ((1024,) if fast else (1024, 4096, 16384)):
+        for dtype in ("float32", "bfloat16"):
+            dt = jnp.dtype(dtype)
+            dec_params = (params if dt == jnp.float32
+                          else nn.cast_tree(params, dt))
+
+            def body(k, _chunk=chunk, _dt=dt, _p=dec_params):
+                z = model.sample_z_prior(k, _chunk).astype(_dt)
+                c = model.sample_c_prior(jax.random.fold_in(k, 1),
+                                         _chunk).astype(_dt)
+                return beam_search(model, _p, z, c, beam_size=5,
+                                   n_best=1)[0]
+
+            iters = max(2, (4096 * 4) // chunk) if not fast else 2
+            dev_s = device_time(body, iters)
+            fl = flops_beam(cfg, model, chunk)
+            by = bytes_beam(cfg, model, chunk,
+                            dtype_bytes=dt.itemsize)
+            _mfu_row(rows,
+                     f"beam_{chunk}_{'bf16' if dtype[0] == 'b' else 'fp32'}",
+                     fl, dev_s, peak_f,
+                     peak_bw, bytes_=by, per=chunk / dev_s,
+                     per_unit="seqs_per_s")
+
+    # --- fused CLaSS round: decode-all + accepted-only at 50k ---
+    from controlled_peptide_generation_tpu.latent import density, logreg
+    from controlled_peptide_generation_tpu.latent.fused import fused_round
+    import numpy as np
+    key = jax.random.PRNGKey(4)
+    mu = 0.5 * jax.random.normal(key, (5000, model.z_dim))
+    lv = jnp.full((5000, model.z_dim), -1.5)
+    Q = density.mogQ(np.asarray(mu), np.asarray(lv), n_components=100,
+                     z_num_samples=2, covariance_type="diag", key=key)
+    w1 = jnp.zeros(model.z_dim).at[0].set(1.0)
+    w2 = jnp.zeros(model.z_dim).at[1].set(-0.5)
+    Q.init_attr_classifiers(
+        {"amp": logreg.LogRegParams(w=w1, b=jnp.asarray(0.3)),
+         "tox": logreg.LogRegParams(w=w2, b=jnp.asarray(-0.4))},
+        {"amp": 1, "tox": 0})
+    n_round = 5_000 if fast else 50_000
+    for mode, cap in (("decode_all", None),
+                      ("accepted_only", n_round // 2)):
+        def body(k, _cap=cap):
+            out = fused_round(model, params, k, Q, n_round, capacity=_cap)
+            return out[3]
+        dev_s = device_time(body, 2, reps=2)
+        n_dec = n_round if cap is None else cap
+        fl = flops_beam(cfg, model, n_dec)  # rejection math is <0.1%
+        by = bytes_beam(cfg, model, n_dec)
+        _mfu_row(rows, f"fused_round_{n_round}_{mode}", fl, dev_s, peak_f,
+                 peak_bw, bytes_=by, per=n_round / dev_s,
+                 per_unit="candidates_per_s")
+
+    # --- transformer family: train step + KV-cache beam ---
+    from controlled_peptide_generation_tpu import config as C
+    from controlled_peptide_generation_tpu.models import build_model
+    tcfg = C.default_config()
+    tcfg.vae.update(tcfg.shared)
+    tcfg.model.E_args.E_class = "transformer"
+    tcfg.model.G_args.G_class = "transformer"
+    tmodel = build_model(tcfg.model, n_vocab=26,
+                         max_seq_len=tcfg.max_seq_len)
+    tparams = tmodel.init_params(jax.random.PRNGKey(0))
+    chunk_step, opt = make_train_scan(tmodel, tcfg.vae, tcfg.losses, rf,
+                                      unroll, donate=True)
+    p = jax.tree.map(jnp.copy, tparams)
+    o = opt.init(p)
+    B = 32
+    text = jax.random.randint(jax.random.PRNGKey(2),
+                              (unroll, B, tmodel.max_seq_len), 4, 26,
+                              jnp.int32).at[..., 0].set(2)
+    p2, o2, _ = chunk_step(p, o, jax.random.PRNGKey(3), text,
+                           jnp.asarray(0, jnp.int32))
+    jax.block_until_ready(p2)
+    walls = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        for r in range(4):
+            p2, o2, _ = chunk_step(p2, o2, jax.random.fold_in(
+                jax.random.PRNGKey(4), rep * 4 + r), text,
+                jnp.asarray(r, jnp.int32))
+        jax.block_until_ready(p2)
+        walls.append(time.perf_counter() - t0)
+    dev_s = max(min(walls) - rtt, 1e-9) / (4 * unroll)
+    _mfu_row(rows, "transformer_train_step_b32",
+             flops_transformer_train(tcfg, tmodel, B), dev_s, peak_f,
+             per=B / dev_s, per_unit="seqs_per_s")
+
+    tdec = nn.cast_tree(tparams, jnp.bfloat16)
+
+    def tbody(k):
+        z = tmodel.sample_z_prior(k, 1024).astype(jnp.bfloat16)
+        c = tmodel.sample_c_prior(jax.random.fold_in(k, 1),
+                                  1024).astype(jnp.bfloat16)
+        return beam_search(tmodel, tdec, z, c, beam_size=5, n_best=1)[0]
+
+    dev_s = device_time(tbody, 2, reps=2)
+    _mfu_row(rows, "transformer_beam_1024_bf16",
+             flops_beam(tcfg, tmodel, 1024), dev_s, peak_f,
+             per=1024 / dev_s, per_unit="seqs_per_s")
+
+    return {"chip": kind, "peak_bf16_tflops": (peak_f or 0) / 1e12,
+            "peak_hbm_gb_s": (peak_bw or 0) / 1e9, "null_rtt_ms":
+            round(rtt * 1e3, 1), "rows": rows}
+
+
 def write_baseline(cfg, model, params, fast=False):
     """Measure the three baseline metrics on THIS host's CPU and write
     CPU_BASELINE.json, so every container's vs_baseline is auditable
@@ -521,6 +879,10 @@ def main():
                     help="measure the baseline metrics on this host's CPU "
                          "and write CPU_BASELINE.json (the vs_baseline "
                          "denominator)")
+    ap.add_argument("--mfu", action="store_true",
+                    help="MFU/roofline accounting only: analytic FLOPs x "
+                         "measured device time per workload, merged into "
+                         "BENCH_DETAILS.json under 'mfu' (TPU only)")
     ap.add_argument("--dp", type=int, default=0, metavar="N",
                     help="CLaSS scaling sweep over mesh sizes 1,2,4..N "
                          "(pass --platform cpu to get an N-device virtual "
@@ -559,6 +921,26 @@ def main():
 
     if args.write_baseline:
         write_baseline(cfg, model, params, fast=args.fast)
+        return
+
+    if args.mfu:
+        assert jax.devices()[0].platform != "cpu", (
+            "MFU accounting is defined against the TPU peak; run on TPU")
+        mfu = bench_mfu(cfg, model, params, fast=args.fast)
+        existing = {}
+        if os.path.exists("BENCH_DETAILS.json"):
+            with open("BENCH_DETAILS.json") as fh:
+                existing = json.load(fh)
+        existing["mfu"] = mfu
+        with open("BENCH_DETAILS.json", "w") as fh:
+            json.dump(existing, fh, indent=2)
+        best = max((r.get("mfu_pct", 0) for r in mfu["rows"]), default=0)
+        print(json.dumps({
+            "metric": "best workload MFU",
+            "value": best,
+            "unit": "% of chip bf16 peak",
+            "vs_baseline": None,
+        }))
         return
 
     if args.dp:
@@ -660,6 +1042,8 @@ def main():
         details["reject_1m_latents_per_sec"] = bench_reject_1m(
             cfg, model, params,
             n_latents=100_000 if args.fast else 1_000_000)
+        if jax.devices()[0].platform != "cpu":
+            details["mfu"] = bench_mfu(cfg, model, params, fast=args.fast)
         with open("BENCH_DETAILS.json", "w") as fh:
             json.dump(details, fh, indent=2)
         log(json.dumps(details, indent=2))

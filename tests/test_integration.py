@@ -291,3 +291,57 @@ def test_fitQ_and_test_filters_kwargs_per_class(trained_run):
         Q, metrics = pipeline.fitQ_and_test(cfg, QClass, qkw, {})
         assert isinstance(Q, QClass)
         assert set(metrics) == {"a,tr", "a,hld"}
+
+
+def test_fused_loop_oom_halves_and_retries(trained_run, monkeypatch):
+    """A compile-time RESOURCE_EXHAUSTED in a fused-round launch halves the
+    dispatch and retries instead of dying (the transformer lane-budget
+    clamp's backstop, pipeline._fused_sampling_loop)."""
+    cfg, _ = trained_run
+    model, params, vocab, base = _load(cfg)
+    dataset = main_mod.load_dataset(cfg)
+    build_index.extract_from_dataset(
+        model, params, vocab, cfg, dataset, base, cfg.vae.n_iter,
+        max_examples=300)
+    calls = []
+    real = pipeline.launch_round
+
+    def flaky(cfg_, model_, params_, Q_, n, key, fused=True, mesh=None):
+        calls.append(n)
+        if len(calls) == 1:
+            raise RuntimeError(
+                "RESOURCE_EXHAUSTED: Out of memory allocating 99 bytes")
+        return real(cfg_, model_, params_, Q_, n, key, fused=fused,
+                    mesh=mesh)
+
+    monkeypatch.setattr(pipeline, "launch_round", flaky)
+    cfg = cfg.copy()
+    cfg.hw.rounds_per_dispatch = 2
+    args = argparse.Namespace(
+        Q_n_components=4, Q_covariance_type="diag",
+        n_samples_per_round=32, n_samples_acc=3,
+        samples_outfn_prefix="oomsamples",
+        Q_select_amppos=0, Q_from_full_dataloader=False)
+    outfn = pipeline.run(cfg, args)
+    assert os.path.exists(outfn + ".csv")
+    assert calls[0] == 64 and calls[1] == 32  # halved once, then ran
+
+
+def test_oom_shrink_stops_at_zero(monkeypatch):
+    """A non-OOM error, or an OOM that can't shrink further, re-raises."""
+    import jax
+    from collections import deque
+    # direct exercise of the retry loop via a 1-candidate round
+    cfg = C.default_config()
+    calls = []
+
+    def always_oom(*a, **kw):
+        calls.append(1)
+        raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory")
+
+    monkeypatch.setattr(pipeline, "launch_round", always_oom)
+    args = argparse.Namespace(n_samples_acc=1, n_samples_per_round=1)
+    with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        pipeline._fused_sampling_loop(cfg, args, None, None, None, None,
+                                      jax.random.PRNGKey(0), 1, None)
+    assert len(calls) == 1  # size-1 dispatch cannot halve: no retry loop

@@ -203,3 +203,29 @@ def test_http_client_errors_are_400(server):
             assert ei.value.code == 400, body
     finally:
         httpd.shutdown()
+
+
+def test_round_sizes_respects_transformer_lane_budget():
+    """Burst demand can pull up to 4x round_size candidates, but the
+    transformer family's dispatch is capped to the same KV-cache lane
+    budget pipeline.run enforces (ADVICE round 2: the server previously
+    bypassed the clamp and could compile-OOM under burst)."""
+    import types
+    from controlled_peptide_generation_tpu import pipeline
+
+    cfg = types.SimpleNamespace(seed=0, hw=C.default_config().hw)
+    cfg.hw.tfm_lane_budget_gb = 0.05   # deliberately tiny budget
+    model = types.SimpleNamespace(
+        G_class="transformer", max_seq_len=25,
+        dec_tfm_args={"n_layers": 2, "d_model": 128})
+    srv = S.GenerationServer(cfg=cfg, model=model, params=None,
+                             dataset=None, Q=None, round_size=5000)
+    budget = pipeline.transformer_dispatch_budget(cfg, model, 1)
+    assert budget is not None and budget < 4 * 5000
+    n = srv._round_sizes(demand=100_000)   # burst wants 4x rounds
+    assert n <= max(budget, 1)
+    # GRU family: no clamp, burst pulls the full 4x
+    gru = types.SimpleNamespace(G_class="gru")
+    srv2 = S.GenerationServer(cfg=cfg, model=gru, params=None,
+                              dataset=None, Q=None, round_size=5000)
+    assert srv2._round_sizes(demand=100_000) == 4 * 5000

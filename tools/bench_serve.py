@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Load test for the serving layer (serve.py): N concurrent HTTP clients
+against a trained run, measuring request latency percentiles, delivered
+unique-sample throughput, and demand coalescing (requests per fused round).
+
+    python tools/bench_serve.py --runname flagship3 --dataset synthetic \
+        --clients 16 --n-per-request 200 --requests-per-client 3
+
+Prints one JSON line with the measurements (and appends them under
+"serve" in BENCH_DETAILS.json with --update-details). The reference has
+no serving layer at all (its sample_pipeline.py is a batch job); this
+harness regenerates the serving section of BENCH.md.
+"""
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+from controlled_peptide_generation_tpu import config as C  # noqa: E402
+from controlled_peptide_generation_tpu.utils import runtime as _rt  # noqa: E402
+_rt.setup()
+from controlled_peptide_generation_tpu import serve as S  # noqa: E402
+
+
+def pct(sorted_vals, p):
+    if not sorted_vals:
+        return float("nan")
+    i = min(int(round(p / 100 * (len(sorted_vals) - 1))),
+            len(sorted_vals) - 1)
+    return sorted_vals[i]
+
+
+def main(argv=None):
+    extra = [
+        ("--QClass", dict(default="mogQ")),
+        ("--Q_n_components", dict(type=int, default=100)),
+        ("--Q_covariance_type", dict(default="diag")),
+        ("--n_samples_per_round", dict(type=int, default=5000)),
+        ("--Q_select_amppos", dict(type=int, default=1)),
+        ("--clients", dict(type=int, default=16)),
+        ("--n-per-request", dict(type=int, default=200)),
+        ("--requests-per-client", dict(type=int, default=3)),
+        ("--timeout", dict(type=float, default=600.0)),
+        ("--update-details", dict(action="store_true", default=False)),
+    ]
+    cfg, args, _ = C.parse_and_finalize(argv, extra_args=extra)
+
+    server = S.build_server(cfg, args).start()
+    httpd = S.make_http_server(server, host="127.0.0.1", port=0,
+                               request_timeout=args.timeout)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{port}/generate"
+
+    latencies, errors, served = [], [], 0
+    lock = threading.Lock()
+
+    def client(cid):
+        nonlocal served
+        for r in range(args.requests_per_client):
+            body = json.dumps({"n": args.n_per_request,
+                               "timeout": args.timeout}).encode()
+            req = urllib.request.Request(
+                url, data=body,
+                headers={"Content-Type": "application/json"})
+            t0 = time.perf_counter()
+            try:
+                with urllib.request.urlopen(req,
+                                            timeout=args.timeout) as resp:
+                    out = json.loads(resp.read())
+                dt = time.perf_counter() - t0
+                with lock:
+                    latencies.append(dt)
+                    served += out["n"]
+            except Exception as e:
+                with lock:
+                    errors.append(f"client {cid} req {r}: {e}")
+
+    t_start = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(args.clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t_start
+    stats = server.stats_snapshot()
+    httpd.shutdown()
+    server.stop()
+
+    lat = sorted(latencies)
+    n_req = args.clients * args.requests_per_client
+    result = {
+        "clients": args.clients,
+        "n_per_request": args.n_per_request,
+        "requests": n_req,
+        "completed": len(lat),
+        "errors": len(errors),
+        "wall_s": round(wall, 2),
+        "served_unique_samples": served,
+        "served_per_s": round(served / wall, 1),
+        "latency_p50_s": round(pct(lat, 50), 3),
+        "latency_p90_s": round(pct(lat, 90), 3),
+        "latency_p99_s": round(pct(lat, 99), 3),
+        "rounds": stats["rounds"],
+        "candidates": stats["candidates"],
+        "accepted": stats["accepted"],
+        "acceptance_rate": round(stats["accepted"]
+                                 / max(stats["candidates"], 1), 4),
+        # coalescing evidence: many requests share one fused round
+        "requests_per_round": round(len(lat) / max(stats["rounds"], 1), 2),
+        "round_size_base": args.n_samples_per_round,
+    }
+    for e in errors[:5]:
+        print("ERROR:", e, file=sys.stderr)
+    print(json.dumps(result))
+    if args.update_details:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_DETAILS.json")
+        details = {}
+        if os.path.exists(path):
+            with open(path) as fh:
+                details = json.load(fh)
+        details["serve"] = result
+        with open(path, "w") as fh:
+            json.dump(details, fh, indent=2)
+    return result
+
+
+if __name__ == "__main__":
+    main()
