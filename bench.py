@@ -918,6 +918,13 @@ def main():
     import jax
     log(f"devices: {jax.devices()}")
     cfg, model, params = build()
+    # The first D2H of a process stalls 67-412s in degraded tunnel phases
+    # (tools/repro_first_d2h.py); runtime.setup() started paying it on a
+    # background thread during build(). Join it HERE so the tax can never
+    # land inside a timed region below.
+    stall = runtime.wait_first_transfer()
+    if stall is not None:
+        log(f"first-D2H warmup: {stall:.1f}s (excluded from all timings)")
 
     if args.write_baseline:
         write_baseline(cfg, model, params, fast=args.fast)
