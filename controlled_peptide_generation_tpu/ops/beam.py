@@ -33,8 +33,29 @@ import numpy as np
 
 from ..data.vocab import PAD_IDX, START_IDX, EOS_IDX
 from . import nn
+from . import pallas_beam
 
 NEG = -1e20
+
+# Whole-scan fused Pallas beam (ops/pallas_beam.py): None = auto,
+# True/False = forced. Like nn.set_fast_gathers, the toggle is read at
+# trace time — tests flipping it must jax.clear_caches(). Auto currently
+# resolves to OFF pending on-device A/B (tools/bench_pallas_beam.py);
+# flip _AUTO_ON_TPU once the measurement is in BENCH.md.
+_PALLAS_BEAM = None
+_AUTO_ON_TPU = False
+
+
+def set_pallas_beam(value):
+    """Force (True/False) or restore auto (None) the fused Pallas beam."""
+    global _PALLAS_BEAM
+    _PALLAS_BEAM = value
+
+
+def pallas_beam_enabled():
+    if _PALLAS_BEAM is not None:
+        return _PALLAS_BEAM
+    return _AUTO_ON_TPU and jax.default_backend() == "tpu"
 
 
 class BeamState(NamedTuple):
@@ -172,6 +193,10 @@ def beam_search(model, params, z, c, beam_size=5, n_best=3, min_length=1,
     assert T <= model.max_seq_len, (
         f"max_len {T} exceeds model.max_seq_len {model.max_seq_len}")
 
+    if pallas_beam_enabled() and pallas_beam.applicable(model, K, z.dtype):
+        return _beam_search_pallas(model, params, z, c, K, n_best,
+                                   min_length, T)
+
     z_flat = jnp.repeat(z, K, axis=0)          # [B*K] batch-major lanes
     c_flat = jnp.repeat(c, K, axis=0)
     # hidden is a pytree with batch-leading leaves (GRU: one [B, H] array;
@@ -266,6 +291,48 @@ def beam_search(model, params, z, c, beam_size=5, n_best=3, min_length=1,
     hyps, scores = finalize(ys, ptrs, state.scores, state.adv,
                             state.fin_cnt, fin_mask, fin_score)
     return hyps, scores
+
+
+def _beam_search_pallas(model, params, z, c, K, n_best, min_length, T):
+    """GRU-family beam via the whole-scan fused Pallas kernel.
+
+    The kernel reproduces the lax.scan's per-step emissions exactly
+    (ops/pallas_beam.py); this wrapper hoists the loop-invariant decoder
+    projections exactly as models/decoder.apply_step does, then reuses the
+    shared _finalize_one for the heap reconstruction + backtrace so the
+    two paths cannot diverge after the emission tape. The per-step finish
+    mask is reconstructed as ys == EOS: done sentences emit PAD (never
+    EOS), live ones emit next_y, so the reconstruction is exact."""
+    B = z.shape[0]
+    V = model.n_vocab
+    dec = params["dec"]
+    wi, bi = dec["gru"]["wi"], dec["gru"]["bi"]
+    emb_w = params["emb"]["w"].at[PAD_IDX].set(0.0)
+    E = emb_w.shape[1]
+    tok_table = emb_w @ wi[:E]                        # [V, 3H]
+    # signed-zero canonicalization, as nn.table_lookup's one-hot path
+    tok_table = jnp.where(tok_table == 0.0, 0.0, tok_table)
+    zc = jnp.concatenate([z, c], axis=1)
+    zc_gi = zc @ wi[E:] + bi                          # [B, 3H]
+
+    ys_steps, ptr_steps, sc_steps, scores_f, adv_f, fin_f = (
+        pallas_beam.beam_scan_gru(
+            tok_table, zc_gi, dec["gru"]["wh"], dec["gru"]["bh"],
+            dec["out"]["w"], dec["out"]["b"], zc,
+            T=T, K=K, V=V, H=model.h_dec, min_length=min_length,
+            n_best=n_best, block_b=128,
+            interpret=jax.default_backend() != "tpu"))
+    mask_steps = ys_steps == EOS_IDX                  # exact, see docstring
+
+    prev0 = jnp.full((B, K), PAD_IDX, jnp.int32).at[:, 0].set(START_IDX)
+    ys = jnp.concatenate([prev0[None], ys_steps], axis=0)   # [T+1, B, K]
+    ys = jnp.swapaxes(ys, 0, 1)
+    ptrs = jnp.swapaxes(ptr_steps, 0, 1)
+    fin_mask = jnp.swapaxes(mask_steps, 0, 1).reshape(B, T * K)
+    fin_score = jnp.swapaxes(sc_steps, 0, 1).reshape(B, T * K)
+    finalize = jax.vmap(partial(_finalize_one, K=K, n_best=n_best, T=T,
+                                fast=nn.fast_gathers_enabled()))
+    return finalize(ys, ptrs, scores_f, adv_f, fin_f, fin_mask, fin_score)
 
 
 @partial(jax.jit, static_argnames=("beam_size", "n_best", "min_length"))

@@ -1,0 +1,126 @@
+"""Whole-scan fused Pallas beam (ops/pallas_beam.py) vs the XLA scan path.
+
+Interpret mode executes the kernel body as plain jnp on CPU, so these run
+everywhere; on the TPU backend the same dispatch compiles to Mosaic. The
+padding scheme is exact (zero weight columns, -inf logit lanes, gate
+sections padded independently), so TOKENS must match the XLA path
+exactly. Scores are compared to a last-ulp tolerance: reductions over the
+128-lane padded vocab axis group their reduction tree differently than
+XLA's V-wide reduce (adding the zero/neg-inf pads is exact, but the
+grouping of the real terms shifts), which moves logsumexp by ~1 ulp.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from controlled_peptide_generation_tpu import config as C
+from controlled_peptide_generation_tpu.models import build_model
+from controlled_peptide_generation_tpu.ops import beam as beam_mod
+from controlled_peptide_generation_tpu.ops import pallas_beam
+
+pytestmark = pytest.mark.quick
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = C.default_config()
+    cfg.model.z_dim = 12
+    cfg.model.emb_dim = 10
+    cfg.model.E_args.h_dim = 8
+    model = build_model(cfg.model, n_vocab=13, max_seq_len=10)
+    params = model.init_params(jax.random.PRNGKey(42))
+    return model, params
+
+
+def _both_paths(model, params, z, c, K, n_best, min_length=1):
+    beam_mod.set_pallas_beam(False)
+    try:
+        ref = beam_mod.beam_search(model, params, z, c, beam_size=K,
+                                   n_best=n_best, min_length=min_length)
+        ref = jax.tree.map(np.asarray, ref)
+    finally:
+        beam_mod.set_pallas_beam(None)
+    jax.clear_caches()
+    beam_mod.set_pallas_beam(True)
+    try:
+        got = beam_mod.beam_search(model, params, z, c, beam_size=K,
+                                   n_best=n_best, min_length=min_length)
+        got = jax.tree.map(np.asarray, got)
+    finally:
+        beam_mod.set_pallas_beam(None)
+        jax.clear_caches()
+    return ref, got
+
+
+@pytest.mark.parametrize("seed,K,n_best", [(0, 5, 3), (1, 4, 1), (2, 3, 3)])
+def test_matches_xla_beam(model_and_params, seed, K, n_best):
+    model, params = model_and_params
+    kz, kc = jax.random.split(jax.random.PRNGKey(seed))
+    B = 9
+    z = model.sample_z_prior(kz, B)
+    c = model.sample_c_prior(kc, B)
+    (h_ref, s_ref), (h_pl, s_pl) = _both_paths(model, params, z, c, K,
+                                               n_best)
+    np.testing.assert_array_equal(h_ref, h_pl)
+    np.testing.assert_allclose(s_ref, s_pl, rtol=1e-5, atol=1e-6)
+
+
+def test_tile_boundary_and_padding(model_and_params):
+    """B crossing a 128-lane tile boundary: padded sentences must not
+    perturb real ones, and output slicing must drop them exactly."""
+    model, params = model_and_params
+    kz, kc = jax.random.split(jax.random.PRNGKey(7))
+    B = 131
+    z = model.sample_z_prior(kz, B)
+    c = model.sample_c_prior(kc, B)
+    (h_ref, s_ref), (h_pl, s_pl) = _both_paths(model, params, z, c, 5, 3)
+    np.testing.assert_array_equal(h_ref, h_pl)
+    np.testing.assert_allclose(s_ref, s_pl, rtol=1e-5, atol=1e-6)
+
+
+def test_min_length_blocking(model_and_params):
+    model, params = model_and_params
+    kz, kc = jax.random.split(jax.random.PRNGKey(11))
+    z = model.sample_z_prior(kz, 6)
+    c = model.sample_c_prior(kc, 6)
+    (h_ref, s_ref), (h_pl, s_pl) = _both_paths(model, params, z, c, 5, 3,
+                                               min_length=4)
+    np.testing.assert_array_equal(h_ref, h_pl)
+    np.testing.assert_allclose(s_ref, s_pl, rtol=1e-5, atol=1e-6)
+
+
+def test_bf16_decode_dtype(model_and_params):
+    """The production fused round casts params/latents to bfloat16; both
+    paths must agree there too (same matmul/gate dtypes either side)."""
+    model, params = model_and_params
+    from controlled_peptide_generation_tpu.ops import nn
+    kz, kc = jax.random.split(jax.random.PRNGKey(3))
+    z = model.sample_z_prior(kz, 8)
+    c = model.sample_c_prior(kc, 8)
+    p16 = nn.cast_tree(params, jnp.bfloat16)
+    z16, c16 = z.astype(jnp.bfloat16), c.astype(jnp.bfloat16)
+    (h_ref, s_ref), (h_pl, s_pl) = _both_paths(model, p16, z16, c16, 5, 1)
+    np.testing.assert_array_equal(h_ref, h_pl)
+    # bf16 matmuls accumulate fp32 on both paths, but the padded
+    # contraction may tile differently on real hardware; on CPU interpret
+    # they are exact — keep a tolerance so the test also passes on TPU.
+    np.testing.assert_allclose(s_ref, s_pl, rtol=2e-2, atol=2e-2)
+
+
+def test_applicability_gate():
+    cfg = C.default_config()
+    cfg.model.z_dim = 12
+    cfg.model.emb_dim = 10
+    model = build_model(cfg.model, n_vocab=13, max_seq_len=10)
+    assert pallas_beam.applicable(model, 5, jnp.float32)
+    assert not pallas_beam.applicable(model, 12, jnp.float32)  # K > V-2
+    assert not pallas_beam.applicable(model, 5, jnp.float16)
+    cfg.model.G_args.GRU_args.skip_connections = True
+    model_skip = build_model(cfg.model, n_vocab=13, max_seq_len=10)
+    assert not pallas_beam.applicable(model_skip, 5, jnp.float32)
+    cfg2 = C.default_config()
+    cfg2.model.G_args.G_class = "deconv"
+    model_dc = build_model(cfg2.model, n_vocab=13, max_seq_len=10)
+    assert not pallas_beam.applicable(model_dc, 5, jnp.float32)

@@ -1,0 +1,85 @@
+"""A/B the whole-scan fused Pallas beam (ops/pallas_beam.py) against the
+XLA lax.scan beam at production shapes, with bench.py's device-time
+methodology (iters chained inside ONE program, null-dispatch RTT
+subtracted) so the tunnel's per-dispatch latency is out of the numbers.
+
+Also asserts token equality between the two paths on-device.
+
+Usage: python tools/bench_pallas_beam.py [--fast]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from controlled_peptide_generation_tpu import config as C
+from controlled_peptide_generation_tpu.models import build_model
+from controlled_peptide_generation_tpu.ops import beam as beam_mod
+from controlled_peptide_generation_tpu.ops import nn
+from controlled_peptide_generation_tpu.utils import runtime
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fast", action="store_true",
+                    help="one shape (1024/bf16) only")
+    args = ap.parse_args()
+    runtime.setup()
+    import bench  # repo-root harness: device_time, flops_beam
+
+    cfg = C.default_config()
+    model = build_model(cfg.model, n_vocab=26, max_seq_len=25)
+    params = model.init_params(jax.random.PRNGKey(42))
+    runtime.wait_first_transfer()
+
+    shapes = [(1024, jnp.bfloat16)] if args.fast else [
+        (1024, jnp.bfloat16), (1024, jnp.float32),
+        (4096, jnp.bfloat16), (4096, jnp.float32),
+        (16384, jnp.bfloat16),
+    ]
+    peak_f = bench.chip_peaks()[0]
+    for B, dt in shapes:
+        p = params if dt == jnp.float32 else nn.cast_tree(params, dt)
+        kz, kc = jax.random.split(jax.random.PRNGKey(0))
+        z = model.sample_z_prior(kz, B).astype(dt)
+        c = model.sample_c_prior(kc, B).astype(dt)
+
+        def body(k, _p=p, _dt=dt, _B=B):
+            zz = model.sample_z_prior(k, _B).astype(_dt)
+            cc = model.sample_c_prior(jax.random.fold_in(k, 1),
+                                      _B).astype(_dt)
+            return beam_mod.beam_search(model, _p, zz, cc, beam_size=5,
+                                        n_best=1)[0]
+
+        res = {}
+        for name, flag in (("xla", False), ("pallas", True)):
+            jax.clear_caches()
+            beam_mod.set_pallas_beam(flag)
+            h, s = beam_mod.beam_search(model, p, z, c, beam_size=5,
+                                        n_best=1)
+            jax.block_until_ready((h, s))
+            iters = max(2, 8192 // B)
+            dev_s = bench.device_time(body, iters)
+            res[name] = (dev_s, np.asarray(h), np.asarray(s))
+        beam_mod.set_pallas_beam(None)
+        (dx, hx, sx), (dp, hp, sp) = res["xla"], res["pallas"]
+        fl = bench.flops_beam(cfg, model, B)
+        dtn = np.dtype(dt).name
+        print(f"B={B:>5} {dtn:<8}: xla {dx*1e3:7.2f} ms ({fl/dx/1e12:5.1f} "
+              f"TF/s {100*fl/dx/peak_f:4.1f}% MFU) | pallas {dp*1e3:7.2f} ms "
+              f"({fl/dp/1e12:5.1f} TF/s {100*fl/dp/peak_f:4.1f}% MFU) | "
+              f"speedup {dx/dp:4.2f}x | tokens_equal="
+              f"{np.array_equal(hx, hp)} score_maxdiff="
+              f"{np.abs(sx - sp).max():.2e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
