@@ -39,11 +39,16 @@ NEG = -1e20
 
 # Whole-scan fused Pallas beam (ops/pallas_beam.py): None = auto,
 # True/False = forced. Like nn.set_fast_gathers, the toggle is read at
-# trace time — tests flipping it must jax.clear_caches(). Auto currently
-# resolves to OFF pending on-device A/B (tools/bench_pallas_beam.py);
-# flip _AUTO_ON_TPU once the measurement is in BENCH.md.
+# trace time — tests flipping it must jax.clear_caches(). Auto resolves
+# to ON on the TPU backend: the calibrated device-time A/B
+# (tools/bench_pallas_beam.py, BENCH.md "fused Pallas beam") measures
+# 1.28-1.58x over the XLA scan at every production shape/dtype
+# (1024/4096/16384 x fp32/bf16), and the on-device divergence is
+# near-tie suffix flips well inside the fp32-vs-bf16 noise floor the
+# pipeline already accepts (6.1% of sentences at matched fp32 vs the
+# 16% dtype floor; interpret mode is bit-exact, tests/test_pallas_beam).
 _PALLAS_BEAM = None
-_AUTO_ON_TPU = False
+_AUTO_ON_TPU = True
 
 
 def set_pallas_beam(value):
@@ -320,7 +325,7 @@ def _beam_search_pallas(model, params, z, c, K, n_best, min_length, T):
             tok_table, zc_gi, dec["gru"]["wh"], dec["gru"]["bh"],
             dec["out"]["w"], dec["out"]["b"], zc,
             T=T, K=K, V=V, H=model.h_dec, min_length=min_length,
-            n_best=n_best, block_b=128,
+            n_best=n_best, block_b=pallas_beam.BLOCK_B,
             interpret=jax.default_backend() != "tpu"))
     mask_steps = ys_steps == EOS_IDX                  # exact, see docstring
 

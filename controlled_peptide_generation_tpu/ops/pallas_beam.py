@@ -61,6 +61,18 @@ NEG = -1e20
 _LANE = 128           # TPU lane width; feature axes are padded to this
 NINF = float("-inf")
 
+# Sentences per grid step (the kernel's batch tile). Bigger tiles give the
+# MXU taller operands per serial recurrence step at the cost of grid-level
+# pipelining across tiles; sweep with tools/bench_pallas_beam.py --blocks.
+BLOCK_B = 128
+
+
+def set_block_b(value):
+    """Set the batch tile (multiple of 8). Read at trace time — callers
+    flipping it must jax.clear_caches()."""
+    global BLOCK_B
+    BLOCK_B = int(value)
+
 
 def applicable(model, beam_size, dtype) -> bool:
     """True when beam_search can route through this kernel."""
@@ -204,14 +216,20 @@ def _kernel(tok_t_ref, zc_gi_ref, wh_ref, wout_ref, zc0_ref,
 
     zc0 = zc0_ref[:].astype(dt)                                  # [Bt, Hp]
     zc0 = jnp.where(is_bias_lane, one, zc0)
+    # Carry inits are derived from runtime data (a zeroed zc0 column) so
+    # their layouts match the loop-body outputs: jnp.zeros/full constants
+    # enter the fori_loop fully lane/sublane-replicated, the body's
+    # max/argmax outputs are sublane-varying, and Mosaic's back-edge
+    # relayout non-replicated -> replicated is unimplemented
+    # ("Invalid relayout" at kernel compile time on v5e).
+    zi = (zc0[:, :1].astype(f32) * 0.0).astype(jnp.int32)        # [Bt, 1]
+    zf = zi.astype(jnp.float32)
     carry = (
         tuple(zc0 for _ in range(K)),
-        tuple(jnp.zeros((Bt, 1), jnp.float32) for _ in range(K)),
-        tuple(jnp.full((Bt, 1), START_IDX if k == 0 else PAD_IDX,
-                       jnp.int32) for k in range(K)),
-        jnp.zeros((Bt, 1), jnp.int32),
-        jnp.zeros((Bt, 1), jnp.int32),
-        jnp.zeros((Bt, 1), jnp.int32),
+        tuple(zf for _ in range(K)),
+        tuple(zi + (START_IDX if k == 0 else PAD_IDX)
+              for k in range(K)),
+        zi, zi, zi,
     )
     _, scores, _, adv, _, fin = jax.lax.fori_loop(0, T, step, carry)
     for k in range(K):

@@ -31,6 +31,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true",
                     help="one shape (1024/bf16) only")
+    ap.add_argument("--blocks", action="store_true",
+                    help="sweep the kernel batch tile (BLOCK_B) instead "
+                         "of the pallas-vs-xla A/B")
     args = ap.parse_args()
     runtime.setup()
     import bench  # repo-root harness: device_time, flops_beam
@@ -45,7 +48,40 @@ def main():
         (4096, jnp.bfloat16), (4096, jnp.float32),
         (16384, jnp.bfloat16),
     ]
-    peak_f = bench.chip_peaks()[0]
+    peak_f = bench.chip_peaks()[1][0] or 197e12
+
+    if args.blocks:
+        from controlled_peptide_generation_tpu.ops import pallas_beam
+        for B, dt in ((4096, jnp.bfloat16), (16384, jnp.bfloat16)):
+            p = nn.cast_tree(params, dt)
+
+            def body(k, _p=p, _dt=dt, _B=B):
+                zz = model.sample_z_prior(k, _B).astype(_dt)
+                cc = model.sample_c_prior(jax.random.fold_in(k, 1),
+                                          _B).astype(_dt)
+                return beam_mod.beam_search(model, _p, zz, cc, beam_size=5,
+                                            n_best=1)[0]
+
+            beam_mod.set_pallas_beam(True)
+            for blk in (128, 256, 512, 1024):
+                jax.clear_caches()
+                pallas_beam.set_block_b(blk)
+                try:
+                    est = bench.device_time(body, 4, reps=2)
+                    iters = max(4, min(512, int(1.0 / max(est, 1e-5))))
+                    dev_s = bench.device_time(body, iters, reps=4)
+                except Exception as e:  # noqa: BLE001 — report and keep sweeping
+                    print(f"B={B:>5} blk={blk:>4}: FAILED "
+                          f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+                    continue
+                fl = bench.flops_beam(cfg, model, B)
+                print(f"B={B:>5} blk={blk:>4}: {dev_s*1e3:7.2f} ms "
+                      f"({fl/dev_s/1e12:5.1f} TF/s "
+                      f"{100*fl/dev_s/peak_f:4.1f}% MFU)", flush=True)
+            pallas_beam.set_block_b(128)
+            beam_mod.set_pallas_beam(None)
+        return
+
     for B, dt in shapes:
         p = params if dt == jnp.float32 else nn.cast_tree(params, dt)
         kz, kc = jax.random.split(jax.random.PRNGKey(0))
@@ -66,8 +102,13 @@ def main():
             h, s = beam_mod.beam_search(model, p, z, c, beam_size=5,
                                         n_best=1)
             jax.block_until_ready((h, s))
-            iters = max(2, 8192 // B)
-            dev_s = bench.device_time(body, iters)
+            # calibrate iters so one dispatch holds ~1s of device work —
+            # per-dispatch tunnel RTT jitter is tens of ms, so a 2-iter
+            # chain at B>=4096 (10-60 ms) measures the tunnel, not the
+            # kernel
+            est = bench.device_time(body, 4, reps=2)
+            iters = max(4, min(512, int(1.0 / max(est, 1e-5))))
+            dev_s = bench.device_time(body, iters, reps=4)
             res[name] = (dev_s, np.asarray(h), np.asarray(s))
         beam_mod.set_pallas_beam(None)
         (dx, hx, sx), (dp, hp, sp) = res["xla"], res["pallas"]
