@@ -333,7 +333,15 @@ def default_config():
                               # candidates beyond it are dropped unbiasedly
         gen_dtype="bfloat16",  # CLaSS decode compute dtype (MXU-native;
                                # rejection + beam scores stay fp32);
-                               # set float32 for bit-parity with the API
+                               # set float32 AND pallas_beam="off" for
+                               # bit-parity with the API's fp32 XLA path
+        pallas_beam="auto",   # GRU beam kernel route (ops/pallas_beam.py):
+                              # "auto" = fused Pallas kernel on the TPU
+                              # backend (1.28-1.58x, near-tie flips only),
+                              # "on" = force it (interpret mode off-TPU),
+                              # "off" = oracle-exact XLA scan everywhere
+                              # (bit-reproducible, or if a Mosaic
+                              # toolchain regression hits the kernel)
         tfm_lane_budget_gb=4.0,  # transformer family: per-device HBM
                                  # budget for fused-round KV-cache lanes
                                  # (pipeline.transformer_dispatch_budget);
@@ -443,6 +451,18 @@ def dataset_spec(cfg):
 # finalize: derive paths/schedules, apply --tiny/part/phase (cfg.py:75-137)
 # ---------------------------------------------------------------------------
 
+def _parse_tristate(name, value):
+    """auto/on/off (plus 1/0/true/false/None spellings) -> None/True/False."""
+    key = str(value).strip().lower()
+    table = {"auto": None, "none": None, "": None,
+             "on": True, "1": True, "true": True,
+             "off": False, "0": False, "false": False}
+    if key not in table:
+        raise ValueError(
+            f"{name} must be auto/on/off (got {value!r})")
+    return table[key]
+
+
 def finalize(cfg, overrides=None):
     cfg.savepath = os.path.join(cfg.savepath_toplevel, cfg.runname)
     cfg.tbpath = os.path.join(cfg.tb_toplevel, cfg.runname)
@@ -515,6 +535,15 @@ def finalize(cfg, overrides=None):
     # per-sub-run seed increments (cfg.py:119-120)
     if cfg.seed and cfg.phase > 0:
         cfg.seed += (cfg.phase - 1) * cfg.partN + cfg.part
+
+    # hardware policies that live as module globals get applied here, the
+    # one choke point every CLI passes through (parity with the reference's
+    # CLI surface, sample_pipeline.py:329-356: every runtime policy is a
+    # flag). Import is deferred: ops.beam pulls in jax, which config-only
+    # consumers (e.g. tools reading a JSON) shouldn't pay for.
+    from .ops import beam as _beam
+    _beam.set_pallas_beam(_parse_tristate("hw.pallas_beam",
+                                          cfg.hw.pallas_beam))
 
     def set_result_filenames(cfgv, list_of_fns):
         for fieldname, fn in list_of_fns:

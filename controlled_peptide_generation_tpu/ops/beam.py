@@ -52,7 +52,14 @@ _AUTO_ON_TPU = True
 
 
 def set_pallas_beam(value):
-    """Force (True/False) or restore auto (None) the fused Pallas beam."""
+    """Force (True/False) or restore auto (None) the fused Pallas beam.
+
+    The user-facing control is ``--hw.pallas_beam auto|on|off`` on every
+    CLI — config.finalize routes it here, so pipeline.py, serve.py,
+    static_eval.py, main.py and latent/fused.py (which all decode through
+    beam_search) follow one policy. The global is read at trace time:
+    flip it before the first decode (finalize runs before any tracing),
+    or jax.clear_caches() in tests."""
     global _PALLAS_BEAM
     _PALLAS_BEAM = value
 

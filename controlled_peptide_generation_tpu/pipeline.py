@@ -34,6 +34,18 @@ from .vis import build_index
 
 LOG = logging.getLogger("GenerationAPI")
 
+
+def is_device_oom(e):
+    """True only for an XLA runtime/compile RESOURCE_EXHAUSTED.
+
+    The self-correcting HBM clamps (here and in serve.GenerationServer)
+    permanently shrink the dispatch when this returns True, so it must
+    not trigger on arbitrary exceptions whose message merely mentions
+    memory — only jax's own runtime error type qualifies."""
+    return (isinstance(e, jax.errors.JaxRuntimeError)
+            and ("RESOURCE_EXHAUSTED" in str(e)
+                 or "Out of memory" in str(e)))
+
 Q_CLASS = density.mogQ
 Q_KWARGS = {"n_components": None, "z_num_samples": 10,
             "covariance_type": None}
@@ -584,8 +596,7 @@ def _fused_sampling_loop(cfg, args, model, params, dataset, Q, key,
                     mesh=mesh)
                 break
             except Exception as e:
-                oom = ("RESOURCE_EXHAUSTED" in str(e)
-                       or "Out of memory" in str(e))
+                oom = is_device_oom(e)
                 shrink = round_size // 2
                 if mesh is not None:
                     shrink -= shrink % mesh.devices.size

@@ -225,7 +225,16 @@ class GenerationServer:
             n = max((cap // self.round_size) * self.round_size,
                     min(cap, self.round_size))
             if self.mesh is not None:
-                n -= n % self.mesh.devices.size
+                # dp_fused_round asserts n % n_dev == 0 — a budget too
+                # small for one mesh-divisible round is a config error,
+                # not something to paper over with a crashing fallback
+                nd = self.mesh.devices.size
+                n -= n % nd
+                if n < 1:
+                    raise ValueError(
+                        f"hw.tfm_lane_budget_gb caps rounds at {cap} "
+                        f"candidates, below one per mesh device ({nd}); "
+                        f"raise the budget or shrink the mesh")
             n = max(n, 1)
         return n
 
@@ -245,8 +254,7 @@ class GenerationServer:
                         fused=True, mesh=self.mesh)
                 break
             except Exception as e:
-                oom = ("RESOURCE_EXHAUSTED" in str(e)
-                       or "Out of memory" in str(e))
+                oom = pipeline.is_device_oom(e)
                 shrink = n // 2
                 if self.mesh is not None:
                     shrink -= shrink % self.mesh.devices.size

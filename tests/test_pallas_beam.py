@@ -109,6 +109,53 @@ def test_bf16_decode_dtype(model_and_params):
     np.testing.assert_allclose(s_ref, s_pl, rtol=2e-2, atol=2e-2)
 
 
+def test_hw_pallas_beam_cli_flag():
+    """--hw.pallas_beam is the user-facing route control: every CLI goes
+    through config.finalize, which pushes the tristate into ops.beam."""
+    try:
+        C.parse_and_finalize(["--hw.pallas_beam", "off"])
+        assert beam_mod.pallas_beam_enabled() is False
+        C.parse_and_finalize(["--hw.pallas_beam", "on"])
+        assert beam_mod.pallas_beam_enabled() is True
+        C.parse_and_finalize(["--hw.pallas_beam", "0"])
+        assert beam_mod.pallas_beam_enabled() is False
+        C.parse_and_finalize(["--hw.pallas_beam", "auto"])
+        expect = jax.default_backend() == "tpu"
+        assert beam_mod.pallas_beam_enabled() == expect
+        with pytest.raises(ValueError):
+            C.parse_and_finalize(["--hw.pallas_beam", "maybe"])
+    finally:
+        beam_mod.set_pallas_beam(None)
+        jax.clear_caches()
+
+
+def test_hw_pallas_beam_flag_through_pipeline(model_and_params):
+    """Pipeline-level flip: decode_from_z under --hw.pallas_beam off must
+    reproduce the oracle-exact XLA tokens bit-for-bit, and under on must
+    route through the kernel (interpret mode off-TPU, itself bit-exact)."""
+    from controlled_peptide_generation_tpu import pipeline
+
+    class _DS:
+        @staticmethod
+        def idx2sentences(toks, print_special_tokens=False):
+            return [" ".join(map(str, row)) for row in np.asarray(toks)]
+
+    model, params = model_and_params
+    z = np.asarray(model.sample_z_prior(jax.random.PRNGKey(5), 12))
+
+    outs = {}
+    for mode in ("off", "on"):
+        C.parse_and_finalize(["--hw.pallas_beam", mode])
+        try:
+            jax.clear_caches()
+            outs[mode] = pipeline.decode_from_z(
+                z, model, params, _DS, chunk=8, beam_size=5)
+        finally:
+            beam_mod.set_pallas_beam(None)
+            jax.clear_caches()
+    assert outs["off"] == outs["on"]
+
+
 def test_applicability_gate():
     cfg = C.default_config()
     cfg.model.z_dim = 12

@@ -3,7 +3,11 @@ XLA lax.scan beam at production shapes, with bench.py's device-time
 methodology (iters chained inside ONE program, null-dispatch RTT
 subtracted) so the tunnel's per-dispatch latency is out of the numbers.
 
-Also asserts token equality between the two paths on-device.
+Also REPORTS token equality between the two paths on-device (it does not
+assert: on hardware the two paths legitimately differ on near-tie
+sentences — tools/beam_divergence.py is the committed protocol that
+quantifies that divergence, and tests/test_pallas_beam.py carries the
+bit-exactness assertions where they are expected to hold).
 
 Usage: python tools/bench_pallas_beam.py [--fast]
 """
