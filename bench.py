@@ -258,6 +258,29 @@ def bench_beam(cfg, model, params, chunk=1024, n_chunks=4, beam_size=5,
     return (chunk * n_chunks) / (time.perf_counter() - t0)
 
 
+def bench_beam_device(cfg, model, params, chunk=1024, dtype="float32",
+                      fast=False):
+    """Beam decode rate under the calibrated device-time protocol of
+    record (calibrated_device_time); the caller sets the beam route."""
+    import jax
+    import jax.numpy as jnp
+    from controlled_peptide_generation_tpu.ops import nn
+    from controlled_peptide_generation_tpu.ops.beam import beam_search
+
+    dt = jnp.dtype(dtype)
+    dec_params = params if dt == jnp.float32 else nn.cast_tree(params, dt)
+
+    def body(k):
+        z = model.sample_z_prior(k, chunk).astype(dt)
+        c = model.sample_c_prior(jax.random.fold_in(k, 1),
+                                 chunk).astype(dt)
+        return beam_search(model, dec_params, z, c, beam_size=5,
+                           n_best=1)[0]
+
+    dev_s = calibrated_device_time(body, target_s=0.3 if fast else 1.0)
+    return chunk / dev_s
+
+
 def bench_class_dp(cfg, model, params, n_devices, n_per_round=5000,
                    rounds_per_dispatch=10, n_dispatches=4,
                    capacity_frac=None):
@@ -642,6 +665,20 @@ def device_time(body, iters, key=None, reps=3):
     return max(min(walls) - rtt, 1e-9) / iters
 
 
+def calibrated_device_time(body, target_s=1.0, reps=4, max_iters=512):
+    """THE device-time protocol of record (BENCH.md "protocol"): iters
+    sized so ONE dispatch holds ~target_s of device work (a short probe
+    estimates the per-iter time first), best of reps, null-RTT
+    subtracted. Short chains at small per-iter times measure the
+    tunnel's tens-of-ms dispatch jitter, not the kernel — this is the
+    discrepancy that produced two disagreeing beam timings in round 3
+    (1.22 vs 1.48 ms for the same shape); every table now uses this one
+    calibration."""
+    est = device_time(body, 4, reps=2)
+    iters = max(4, min(max_iters, int(target_s / max(est, 1e-5))))
+    return device_time(body, iters, reps=reps)
+
+
 def _mfu_row(rows, name, flop, dev_s, peak_flops, peak_bw=None,
              bytes_=None, per=None, per_unit=None, note=""):
     row = {"workload": name, "device_ms": round(dev_s * 1e3, 3),
@@ -700,8 +737,15 @@ def bench_mfu(cfg, model, params, fast=False):
         jax.block_until_ready(p2)
         # chain dispatches WITHOUT intermediate syncs (the production loop
         # syncs only at log boundaries; a per-dispatch block_until_ready
-        # pays a tunnel sync the real loop never does), one block at the end
-        n_disp = 4
+        # pays a tunnel sync the real loop never does), one block at the
+        # end; the chain is calibrated to hold ~1s of device work like
+        # calibrated_device_time (donated buffers keep this a manual loop)
+        t0 = time.perf_counter()
+        p2, o2, _ = chunk_step(p2, o2, jax.random.PRNGKey(5), text,
+                               jnp.asarray(0, jnp.int32))
+        jax.block_until_ready(p2)
+        n_disp = max(2, min(64, int(1.0 / max(time.perf_counter() - t0,
+                                              1e-4))))
         walls = []
         for rep in range(3):
             t0 = time.perf_counter()
@@ -716,10 +760,22 @@ def bench_mfu(cfg, model, params, fast=False):
         _mfu_row(rows, f"wae_train_step_b{B}", fl, dev_s, peak_f,
                  per=B / dev_s, per_unit="seqs_per_s")
 
-    # --- beam decode: fp32 + bf16 along the chunk sweep ---
-    for chunk in ((1024,) if fast else (1024, 4096, 16384)):
-        for dtype in ("float32", "bfloat16"):
+    # --- beam decode: fp32 + bf16 along the chunk sweep, BOTH routes ---
+    # every row is labeled with the beam path it measured; "default" marks
+    # the arm the production policy (--hw.pallas_beam auto) would route to
+    from controlled_peptide_generation_tpu.ops import beam as beam_mod
+    from controlled_peptide_generation_tpu.ops import pallas_beam
+    beam_shapes = [(c, d) for c in ((1024,) if fast
+                                    else (1024, 4096, 16384))
+                   for d in ("float32", "bfloat16")]
+    for path in ("pallas", "xla"):
+        beam_mod.set_pallas_beam(path == "pallas")
+        jax.clear_caches()
+        for chunk, dtype in beam_shapes:
             dt = jnp.dtype(dtype)
+            if path == "pallas" and not pallas_beam.applicable(model, 5,
+                                                               dt):
+                continue
             dec_params = (params if dt == jnp.float32
                           else nn.cast_tree(params, dt))
 
@@ -730,16 +786,21 @@ def bench_mfu(cfg, model, params, fast=False):
                 return beam_search(model, _p, z, c, beam_size=5,
                                    n_best=1)[0]
 
-            iters = max(2, (4096 * 4) // chunk) if not fast else 2
-            dev_s = device_time(body, iters)
+            dev_s = calibrated_device_time(
+                body, target_s=0.3 if fast else 1.0)
             fl = flops_beam(cfg, model, chunk)
             by = bytes_beam(cfg, model, chunk,
                             dtype_bytes=dt.itemsize)
-            _mfu_row(rows,
-                     f"beam_{chunk}_{'bf16' if dtype[0] == 'b' else 'fp32'}",
+            dname = "bf16" if dtype[0] == "b" else "fp32"
+            default = path == ("pallas" if pallas_beam.applicable(
+                model, 5, dt) else "xla")
+            _mfu_row(rows, f"beam_{chunk}_{dname}_{path}",
                      fl, dev_s, peak_f,
                      peak_bw, bytes_=by, per=chunk / dev_s,
-                     per_unit="seqs_per_s")
+                     per_unit="seqs_per_s",
+                     note="default route" if default else "comparison arm")
+    beam_mod.set_pallas_beam(None)
+    jax.clear_caches()
 
     # --- fused CLaSS round: decode-all + accepted-only at 50k ---
     from controlled_peptide_generation_tpu.latent import density, logreg
@@ -757,18 +818,28 @@ def bench_mfu(cfg, model, params, fast=False):
          "tox": logreg.LogRegParams(w=w2, b=jnp.asarray(-0.4))},
         {"amp": 1, "tox": 0})
     n_round = 5_000 if fast else 50_000
-    for mode, cap in (("decode_all", None),
-                      ("accepted_only", n_round // 2)):
-        def body(k, _cap=cap):
-            out = fused_round(model, params, k, Q, n_round, capacity=_cap)
-            return out[3]
-        dev_s = device_time(body, 2, reps=2)
-        n_dec = n_round if cap is None else cap
-        fl = flops_beam(cfg, model, n_dec)  # rejection math is <0.1%
-        by = bytes_beam(cfg, model, n_dec)
-        _mfu_row(rows, f"fused_round_{n_round}_{mode}", fl, dev_s, peak_f,
-                 peak_bw, bytes_=by, per=n_round / dev_s,
-                 per_unit="candidates_per_s")
+    for path in ("pallas", "xla"):
+        beam_mod.set_pallas_beam(path == "pallas")
+        jax.clear_caches()
+        for mode, cap in (("decode_all", None),
+                          ("accepted_only", n_round // 2)):
+            def body(k, _cap=cap):
+                out = fused_round(model, params, k, Q, n_round,
+                                  capacity=_cap)
+                return out[3]
+            dev_s = calibrated_device_time(
+                body, target_s=0.3 if fast else 1.0, reps=2)
+            n_dec = n_round if cap is None else cap
+            fl = flops_beam(cfg, model, n_dec)  # rejection math is <0.1%
+            by = bytes_beam(cfg, model, n_dec)
+            default = path == ("pallas" if pallas_beam.applicable(
+                model, 5, jnp.float32) else "xla")
+            _mfu_row(rows, f"fused_round_{n_round}_{mode}_{path}", fl,
+                     dev_s, peak_f, peak_bw, bytes_=by,
+                     per=n_round / dev_s, per_unit="candidates_per_s",
+                     note="default route" if default else "comparison arm")
+    beam_mod.set_pallas_beam(None)
+    jax.clear_caches()
 
     # --- transformer family: train step + KV-cache beam ---
     from controlled_peptide_generation_tpu import config as C
@@ -791,16 +862,21 @@ def bench_mfu(cfg, model, params, fast=False):
     p2, o2, _ = chunk_step(p, o, jax.random.PRNGKey(3), text,
                            jnp.asarray(0, jnp.int32))
     jax.block_until_ready(p2)
+    t0 = time.perf_counter()
+    p2, o2, _ = chunk_step(p2, o2, jax.random.PRNGKey(5), text,
+                           jnp.asarray(0, jnp.int32))
+    jax.block_until_ready(p2)
+    n_disp = max(2, min(64, int(1.0 / max(time.perf_counter() - t0, 1e-4))))
     walls = []
     for rep in range(3):
         t0 = time.perf_counter()
-        for r in range(4):
+        for r in range(n_disp):
             p2, o2, _ = chunk_step(p2, o2, jax.random.fold_in(
-                jax.random.PRNGKey(4), rep * 4 + r), text,
+                jax.random.PRNGKey(4), rep * n_disp + r), text,
                 jnp.asarray(r, jnp.int32))
         jax.block_until_ready(p2)
         walls.append(time.perf_counter() - t0)
-    dev_s = max(min(walls) - rtt, 1e-9) / (4 * unroll)
+    dev_s = max(min(walls) - rtt, 1e-9) / (n_disp * unroll)
     _mfu_row(rows, "transformer_train_step_b32",
              flops_transformer_train(tcfg, tmodel, B), dev_s, peak_f,
              per=B / dev_s, per_unit="seqs_per_s")
@@ -813,10 +889,12 @@ def bench_mfu(cfg, model, params, fast=False):
                                   1024).astype(jnp.bfloat16)
         return beam_search(tmodel, tdec, z, c, beam_size=5, n_best=1)[0]
 
-    dev_s = device_time(tbody, 2, reps=2)
+    dev_s = calibrated_device_time(tbody, target_s=0.3 if fast else 1.0,
+                                   reps=2)
     _mfu_row(rows, "transformer_beam_1024_bf16",
              flops_beam(tcfg, tmodel, 1024), dev_s, peak_f,
-             per=1024 / dev_s, per_unit="seqs_per_s")
+             per=1024 / dev_s, per_unit="seqs_per_s",
+             note="xla path (pallas_beam.applicable gates on GRU)")
 
     return {"chip": kind, "peak_bf16_tflops": (peak_f or 0) / 1e12,
             "peak_hbm_gb_s": (peak_bw or 0) / 1e9, "null_rtt_ms":
@@ -1023,17 +1101,35 @@ def main():
     if args.all:
         details["wae_train_steps_per_sec"] = bench_train(
             cfg, model, params, n_steps=30 if args.fast else 100)
-        n_chunks = 2 if args.fast else 4
-        # beam table: chunk size x compute dtype (fp32 = bit-parity path,
-        # bf16 = MXU-native production decode; 4096 = the larger-round knob)
-        for chunk in (1024, 4096):
-            for dtype in ("float32", "bfloat16"):
-                tag = (f"beam_decode_seqs_per_sec_{chunk}_"
-                       f"{'bf16' if dtype == 'bfloat16' else 'fp32'}")
-                details[tag] = bench_beam(cfg, model, params, chunk=chunk,
-                                          n_chunks=n_chunks, dtype=dtype)
+        # beam table: chunk size x compute dtype x beam route (fp32 =
+        # bit-parity path, bf16 = MXU-native production decode; every key
+        # names the route it measured — "pallas" is the TPU default,
+        # "xla" the oracle-exact --hw.pallas_beam off arm), all under the
+        # calibrated ~1s-dispatch device-time protocol (BENCH.md)
+        from controlled_peptide_generation_tpu.ops import (
+            beam as beam_mod, pallas_beam)
+        on_cpu = jax.devices()[0].platform == "cpu"
+        for path in (("xla",) if on_cpu else ("pallas", "xla")):
+            beam_mod.set_pallas_beam(path == "pallas")
+            jax.clear_caches()
+            for chunk in (1024, 4096):
+                for dtype in ("float32", "bfloat16"):
+                    tag = (f"beam_decode_seqs_per_sec_{chunk}_"
+                           f"{'bf16' if dtype == 'bfloat16' else 'fp32'}"
+                           f"_{path}")
+                    details[tag] = bench_beam_device(
+                        cfg, model, params, chunk=chunk, dtype=dtype,
+                        fast=args.fast)
+        beam_mod.set_pallas_beam(None)
+        jax.clear_caches()
+        default_path = ("xla" if on_cpu or not pallas_beam.applicable(
+            model, 5, jax.numpy.float32) else "pallas")
+        details["beam_decode_protocol"] = (
+            "calibrated ~1s-dispatch device time, null-RTT subtracted "
+            f"(bench.calibrated_device_time); default route = "
+            f"{default_path}")
         details["beam_decode_seqs_per_sec"] = \
-            details["beam_decode_seqs_per_sec_1024_fp32"]
+            details[f"beam_decode_seqs_per_sec_1024_fp32_{default_path}"]
         # the 4096-candidates-per-round CLaSS shape (BENCH.md "next knob")
         _, details["class_accepted_samples_per_sec_4096round"] = bench_class(
             cfg, model, params,

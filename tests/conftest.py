@@ -15,7 +15,14 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# CPG_TEST_PLATFORM=default leaves the env's platform in place (the real
+# TPU on this image) — that is how the on-hardware property tests run:
+#   CPG_TEST_PLATFORM=default python -m pytest tests/test_pallas_beam_tpu.py
+# Anything else is passed to jax.config verbatim; the default stays CPU so
+# `pytest tests/` is hermetic and fast.
+_plat = os.environ.get("CPG_TEST_PLATFORM", "cpu")
+if _plat != "default":
+    jax.config.update("jax_platforms", _plat)
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,194 @@
+"""On-HARDWARE property tests for the fused Pallas beam kernel.
+
+tests/test_pallas_beam.py proves bit-exactness in interpret mode (CPU);
+on a real TPU the Mosaic-compiled kernel legitimately regroups matmul
+accumulations, so exact token equality with the XLA scan does not hold
+(tools/beam_divergence.py quantifies the near-tie flips). What MUST
+survive rounding — and what a Mosaic toolchain regression would break —
+are the beam-search invariants themselves. This module asserts them on
+the compiled kernel:
+
+* every emitted hypothesis is structurally a valid beam output (START
+  row, in-vocab tokens, PAD only as a suffix);
+* returned scores equal an independent teacher-forced recompute of the
+  emitted tokens' log-probs (the score IS the sum of per-step logps,
+  whatever near-tie path produced the tokens);
+* EOS / min_length / n_best semantics hold (no early EOS, descending
+  n_best scores);
+* fused accepted-only decode == decode-all accepted subset under the
+  kernel (the production pipeline contract,
+  /root/reference/sample_pipeline.py:129-139).
+
+Run on hardware (skipped everywhere else):
+
+    CPG_TEST_PLATFORM=default python -m pytest tests/test_pallas_beam_tpu.py -q
+
+Reference semantics: /root/reference/models/Beam.py:56-122.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from controlled_peptide_generation_tpu import config as C
+from controlled_peptide_generation_tpu.data.vocab import (PAD_IDX,
+                                                          START_IDX,
+                                                          EOS_IDX)
+from controlled_peptide_generation_tpu.models import build_model
+from controlled_peptide_generation_tpu.ops import beam as beam_mod
+from controlled_peptide_generation_tpu.ops import nn
+from controlled_peptide_generation_tpu.ops import pallas_beam
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="on-hardware Pallas kernel properties "
+           "(CPG_TEST_PLATFORM=default to run)")
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = C.default_config()
+    model = build_model(cfg.model, n_vocab=26,
+                        max_seq_len=cfg.max_seq_len)
+    params = model.init_params(jax.random.PRNGKey(0))
+    assert pallas_beam.applicable(model, 5, jnp.float32)
+    return cfg, model, params
+
+
+def _pallas_beam(model, params, z, c, **kw):
+    beam_mod.set_pallas_beam(True)
+    try:
+        h, s = beam_mod.beam_search(model, params, z, c, **kw)
+        return np.asarray(h), np.asarray(s)
+    finally:
+        beam_mod.set_pallas_beam(None)
+        jax.clear_caches()
+
+
+def _prior(model, key, B, dt=jnp.float32):
+    kz, kc = jax.random.split(jax.random.PRNGKey(key))
+    return (model.sample_z_prior(kz, B).astype(dt),
+            model.sample_c_prior(kc, B).astype(dt))
+
+
+def _assert_valid_hyps(hyps, V, min_length=1):
+    B, n_best, Tp1 = hyps.shape
+    flat = hyps.reshape(-1, Tp1)
+    assert (flat[:, 0] == START_IDX).all(), "row 0 must be BOS"
+    assert ((flat >= 0) & (flat < V)).all(), "tokens out of vocab"
+    body = flat[:, 1:]
+    assert not (body == START_IDX).any(), "START re-emitted"
+    # PAD is a suffix: once a position is PAD, everything after is PAD
+    pad = body == PAD_IDX
+    assert (pad[:, :-1] <= pad[:, 1:]).all(), "PAD resurrection"
+    # EOS terminates: at most one EOS, and the token right after is PAD
+    eos = body == EOS_IDX
+    assert (eos.sum(axis=1) <= 1).all(), "multiple EOS in one hypothesis"
+    after_eos = np.roll(eos, 1, axis=1)
+    after_eos[:, 0] = False
+    assert (body[after_eos] == PAD_IDX).all(), "tokens after EOS"
+    # min_length: no EOS before position min_length
+    if min_length > 1:
+        assert not eos[:, :min_length - 1].any(), "EOS before min_length"
+
+
+def _recompute_scores(model, params, z, c, hyps_top1):
+    """Teacher-forced sum of log-probs of the emitted tokens — the
+    definition of a beam score, independent of the kernel's bookkeeping.
+    Matmuls run in params' dtype exactly as the kernel's; the log-softmax
+    and the sum are fp32 as on both beam paths."""
+    toks = jnp.asarray(hyps_top1, jnp.int32)        # [B, T+1]
+    h0 = model.init_decoder_hidden(params, z, c)
+
+    def step(h, inp):
+        tok_in, tok_tgt = inp
+        logits, h = model.decode_step(params, tok_in, None, z, c, h)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        pick = jnp.take_along_axis(logp, tok_tgt[:, None], axis=1)[:, 0]
+        return h, pick
+
+    _, picks = jax.lax.scan(step, h0, (toks[:, :-1].T, toks[:, 1:].T))
+    mask = (toks[:, 1:] != PAD_IDX).T
+    return np.asarray(jnp.sum(jnp.where(mask, picks, 0.0), axis=0))
+
+
+@pytest.mark.parametrize("seed,B,K,n_best,min_length",
+                         [(0, 256, 5, 3, 1), (1, 131, 5, 1, 1),
+                          (2, 64, 4, 2, 5)])
+def test_structure_and_semantics(setup, seed, B, K, n_best, min_length):
+    _, model, params = setup
+    z, c = _prior(model, seed, B)
+    hyps, scores = _pallas_beam(model, params, z, c, beam_size=K,
+                                n_best=n_best, min_length=min_length)
+    assert hyps.shape == (B, n_best, model.max_seq_len + 1)
+    assert scores.shape == (B, n_best)
+    _assert_valid_hyps(hyps, model.n_vocab, min_length)
+    assert np.isfinite(scores).all(), "non-finite beam scores"
+    assert (scores <= 1e-6).all(), "log-prob scores must be <= 0"
+    # n_best ordering: stable sort by score descending
+    assert (np.diff(scores, axis=1) <= 1e-6).all(), "scores not sorted"
+
+
+def test_scores_match_recompute_fp32(setup):
+    _, model, params = setup
+    z, c = _prior(model, 7, 256)
+    hyps, scores = _pallas_beam(model, params, z, c, beam_size=5, n_best=1)
+    rec = _recompute_scores(model, params, z, c, hyps[:, 0])
+    np.testing.assert_allclose(scores[:, 0], rec, rtol=1e-3, atol=2e-2)
+
+
+def test_scores_match_recompute_bf16(setup):
+    """Production decode dtype: same invariant, bf16-accumulation slack."""
+    _, model, params = setup
+    p16 = nn.cast_tree(params, jnp.bfloat16)
+    z, c = _prior(model, 8, 256, jnp.bfloat16)
+    hyps, scores = _pallas_beam(model, p16, z, c, beam_size=5, n_best=1)
+    rec = _recompute_scores(model, p16, z, c, hyps[:, 0])
+    np.testing.assert_allclose(scores[:, 0], rec, rtol=2e-2, atol=0.3)
+
+
+def test_fused_accepted_only_matches_decode_all(setup):
+    """Under the compiled kernel, accepted-only compaction must decode the
+    exact accepted subset of the decode-all round (same tokens, same
+    rows) — the kernel is deterministic per lane, so even on hardware
+    this is an equality, not a tolerance."""
+    _, model, params = setup
+    from controlled_peptide_generation_tpu.latent import density, logreg
+    from controlled_peptide_generation_tpu.latent.fused import fused_round
+
+    D = model.z_dim
+    rng = np.random.default_rng(3)
+    mu = rng.normal(size=(200, D)).astype(np.float32)
+    lv = np.full((200, D), -1.0, np.float32)
+    Q = density.mogQ(mu, lv, n_components=4, z_num_samples=2,
+                     key=jax.random.PRNGKey(0))
+    w = jnp.zeros(D).at[0].set(1.0)
+    Q.init_attr_classifiers(
+        {"amp": logreg.LogRegParams(w=w, b=jnp.asarray(0.2)),
+         "tox": logreg.LogRegParams(w=-w, b=jnp.asarray(-0.1))},
+        {"amp": 1, "tox": 0})
+
+    key = jax.random.PRNGKey(11)
+    n = 256
+    beam_mod.set_pallas_beam(True)
+    try:
+        _, _, acc_all, tok_all = fused_round(
+            model, params, key, Q, n, decode_dtype="bfloat16")
+        acc_np = np.asarray(acc_all)
+        n_acc = int(acc_np.sum())
+        assert 0 < n_acc < n, "test needs a mixed accept mask"
+        cap = n_acc + 8
+        _, _, acc_c, tok_c, idx, valid = fused_round(
+            model, params, key, Q, n, decode_dtype="bfloat16",
+            capacity=cap)
+    finally:
+        beam_mod.set_pallas_beam(None)
+        jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(acc_c), acc_np)
+    v = np.asarray(valid)
+    assert int(v.sum()) == n_acc and v[:n_acc].all()
+    acc_idx = np.nonzero(acc_np)[0]
+    np.testing.assert_array_equal(np.asarray(idx)[:n_acc], acc_idx)
+    np.testing.assert_array_equal(np.asarray(tok_c)[:n_acc],
+                                  np.asarray(tok_all)[acc_idx])
