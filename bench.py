@@ -719,11 +719,23 @@ def bench_mfu(cfg, model, params, fast=False):
     rtt = _null_rtt()
     log(f"null-dispatch RTT: {rtt * 1e3:.1f} ms (subtracted)")
 
-    # --- phase-1 train step: reference batch 32 + sweep to the knee ---
+    # --- phase-1 train step: reference batch 32 + sweep to the knee,
+    # BOTH GRU-scan routes (pallas = fused whole-scan fwd+bwd kernels of
+    # ops/pallas_gru.py; xla = the --hw.pallas_train off lax.scan arm) ---
+    from controlled_peptide_generation_tpu.ops import gru as gru_mod
+    from controlled_peptide_generation_tpu.ops import pallas_gru
     rf = L.init_rf_basis(jax.random.PRNGKey(1), model.z_dim,
                          cfg.losses.wae_mmd.rf_dim)
     unroll = 50
-    for B in ((32,) if fast else (32, 256, 1024)):
+    t_applicable = pallas_gru.applicable(model.h_dec, jnp.float32)
+    t_default = "pallas" if (gru_mod.pallas_train_enabled()
+                             and t_applicable) else "xla"
+    for tpath, B in [(tp, b)
+                     for tp in (("pallas", "xla") if t_applicable
+                                else ("xla",))
+                     for b in ((32,) if fast else (32, 256, 1024))]:
+        gru_mod.set_pallas_train(tpath == "pallas")
+        jax.clear_caches()
         chunk_step, opt = make_train_scan(model, cfg.vae, cfg.losses, rf,
                                           unroll, donate=True)
         p = jax.tree.map(jnp.copy, params)
@@ -757,8 +769,12 @@ def bench_mfu(cfg, model, params, fast=False):
             walls.append(time.perf_counter() - t0)
         dev_s = max(min(walls) - rtt, 1e-9) / (n_disp * unroll)
         fl = flops_train_step(cfg, model, B)
-        _mfu_row(rows, f"wae_train_step_b{B}", fl, dev_s, peak_f,
-                 per=B / dev_s, per_unit="seqs_per_s")
+        _mfu_row(rows, f"wae_train_step_b{B}_{tpath}", fl, dev_s, peak_f,
+                 per=B / dev_s, per_unit="seqs_per_s",
+                 note=("default route" if tpath == t_default
+                       else "comparison arm"))
+    gru_mod.set_pallas_train(None)
+    jax.clear_caches()
 
     # --- beam decode: fp32 + bf16 along the chunk sweep, BOTH routes ---
     # every row is labeled with the beam path it measured; "default" marks

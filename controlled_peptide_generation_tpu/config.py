@@ -335,6 +335,15 @@ def default_config():
                                # rejection + beam scores stay fp32);
                                # set float32 AND pallas_beam="off" for
                                # bit-parity with the API's fp32 XLA path
+        pallas_train="auto",  # fused GRU train/encode scans
+                              # (ops/pallas_gru.py fwd+bwd kernels):
+                              # "auto" currently resolves to OFF — the
+                              # kernels win in isolation but the full
+                              # train step is Amdahl-capped (1.06x at
+                              # b32, 0.71x at b256; BENCH.md "fused
+                              # Pallas train"); "on" opts in (gradient
+                              # math identical up to float
+                              # re-association, tests/test_pallas_gru.py)
         pallas_beam="auto",   # GRU beam kernel route (ops/pallas_beam.py):
                               # "auto" = fused Pallas kernel on the TPU
                               # backend (1.28-1.58x, near-tie flips only),
@@ -542,8 +551,11 @@ def finalize(cfg, overrides=None):
     # flag). Import is deferred: ops.beam pulls in jax, which config-only
     # consumers (e.g. tools reading a JSON) shouldn't pay for.
     from .ops import beam as _beam
+    from .ops import gru as _gru
     _beam.set_pallas_beam(_parse_tristate("hw.pallas_beam",
                                           cfg.hw.pallas_beam))
+    _gru.set_pallas_train(_parse_tristate("hw.pallas_train",
+                                          cfg.hw.pallas_train))
 
     def set_result_filenames(cfgv, list_of_fns):
         for fieldname, fn in list_of_fns:

@@ -10,9 +10,11 @@ out of the recurrence as one large [B*T, in] x [in, 3H] matmul (MXU-friendly),
 so the lax.scan carries only the small [B, H] x [H, 3H] recurrent matmul and
 the elementwise gates (fused by XLA into a couple of VPU ops per step).
 
-An optional fused Pallas step kernel exists in ops/pallas_kernels.py; at the
-reference's sizes (H=80..102) the XLA path is at parity or faster, and is the
-default (see bench notes in BENCH.md).
+The whole-scan fused Pallas path (ops/pallas_gru.py — forward + custom-VJP
+backward kernels, VMEM-resident carry) replaces the per-step lax.scan here
+when enabled; the superseded per-STEP kernel experiment lives in
+ops/pallas_kernels.py (its "XLA wins" conclusion applied only to that
+single-block formulation — see BENCH.md "fused Pallas train").
 """
 
 from functools import partial
@@ -20,7 +22,35 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from . import pallas_gru
 from .nn import uniform
+
+# Whole-scan fused Pallas GRU for training/encoding scans: None = auto,
+# True/False = forced (config --hw.pallas_train auto|on|off routes here
+# via finalize, like ops/beam.set_pallas_beam). Read at trace time.
+#
+# Auto resolves to OFF: on hardware the fused recurrences win in
+# isolation but the full phase-1 train step is dominated by the
+# optimizer, input/output projections and losses, so the measured
+# end-to-end effect at the chained dependent-step protocol is 1.06x at
+# the reference batch (32) and a REGRESSION at larger batches (0.71x at
+# b256, 0.92x at b1024 — grid tiles serialize and the opaque kernels
+# deny XLA cross-op overlap; tools/bench_pallas_train.py, BENCH.md
+# "fused Pallas train"). The XLA scan also stays GSPMD-partitionable
+# for DP/TP/PP meshes. Opt in with --hw.pallas_train on.
+_PALLAS_TRAIN = None
+
+
+def set_pallas_train(value):
+    """Force (True/False) or restore auto (None) the fused Pallas GRU."""
+    global _PALLAS_TRAIN
+    _PALLAS_TRAIN = value
+
+
+def pallas_train_enabled():
+    if _PALLAS_TRAIN is not None:
+        return _PALLAS_TRAIN
+    return False
 
 
 def init_gru_params(key, in_dim, h_dim, dtype=jnp.float32):
@@ -75,6 +105,23 @@ def gru_scan(params, xs, h0, reverse=False):
     With reverse=True the scan runs T-1..0 and hs[t] is the state after
     consuming xs[t..T-1] (torch bidirectional semantics).
     """
+    if (pallas_train_enabled()
+            and pallas_gru.applicable(h0.shape[-1], h0.dtype)):
+        # fused whole-scan kernel: same hoisted input projection as the
+        # XLA path below; bh rides the kernel's bias lane so the torch
+        # gate grouping (bh_n inside the reset-gated term) stays exact
+        gi_all = xs @ params["wi"] + params["bi"]
+        gi_tm = jnp.swapaxes(gi_all, 0, 1)             # [T, B, 3H]
+        if reverse:
+            gi_tm = jnp.flip(gi_tm, 0)
+        hs_tm = pallas_gru.gru_seq(params["wh"], params["bh"], gi_tm, h0,
+                                   None,
+                                   jax.default_backend() != "tpu")
+        h_last = hs_tm[-1]
+        if reverse:
+            hs_tm = jnp.flip(hs_tm, 0)
+        return jnp.swapaxes(hs_tm, 0, 1), h_last
+
     # hoist the input projection out of the recurrence: one big MXU matmul
     gi_all = xs @ params["wi"] + params["bi"]          # [B, T, 3H]
     gi_tm = jnp.swapaxes(gi_all, 0, 1)                 # [T, B, 3H] time-major

@@ -263,10 +263,13 @@ class GenerationServer:
                 LOG.warning("round OOM at %d candidates; retrying at %d",
                             n, shrink)
                 self._max_candidates = n = shrink
+        jax.block_until_ready(tokens)
+        t_dev = time.perf_counter()
         tokens_np = np.asarray(tokens)
         accept_np = np.asarray(accept)
         scores_np = {k: np.asarray(v) for k, v in scores.items()}
         n_candidates = accept_np.shape[0]
+        t_d2h = time.perf_counter()
         if valid is not None:
             # accepted-only decode: the valid compacted slots are the
             # accepted candidates (rejected rows never reached the host)
@@ -292,16 +295,29 @@ class GenerationServer:
                                               print_special_tokens=False)
         H, uH, charge = modlamp_from_tokens(kept_tokens,
                                             self.dataset.vocab.itos)
-        dt = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        dt = t1 - t0
+        # stage split, logged so the load test shows WHERE a round's wall
+        # goes on a tunneled device: dispatch+device (launch -> outputs
+        # ready), d2h (device->host readback of tokens/scores), host
+        # (dedup + physchem + detokenize)
+        s_dev, s_d2h, s_host = t_dev - t0, t_d2h - t_dev, t1 - t_d2h
         with self._lock:
             self.stats["rounds"] += 1
             self.stats["candidates"] += n_candidates
             self.stats["accepted"] += n_accepted
             self.stats["duplicates"] += dup
             self.stats["device_s"] += dt
+            st = self.stats.setdefault(
+                "stage_s", {"dispatch_device": 0.0, "d2h": 0.0,
+                            "host_postproc": 0.0})
+            st["dispatch_device"] += s_dev
+            st["d2h"] += s_d2h
+            st["host_postproc"] += s_host
         LOG.info("round %d: %d candidates -> %d accepted, %d unique "
-                 "(%.2fs)", self._round_ix, n_candidates, n_accepted,
-                 len(peptides), dt)
+                 "(%.2fs = %.2f dev + %.2f d2h + %.2f host)",
+                 self._round_ix, n_candidates, n_accepted,
+                 len(peptides), dt, s_dev, s_d2h, s_host)
         rows = []
         score_cols = {k: s[keep] for k, s in scores_np.items()}
         for i, pep in enumerate(peptides):
