@@ -98,6 +98,11 @@ class GenerationServer:
         self._running = False
         self._worker = None
         self._round_ix = 0
+        # demand that arrives on an idle server gets a SMALL first round
+        # (one round_size) so early arrivals see first-token latency of a
+        # small round, while the backlog-sized big round is pre-dispatched
+        # behind it (see _worker_loop overlap) — p50 without throughput loss
+        self._fresh_burst = True
         self.stats = {"rounds": 0, "candidates": 0, "accepted": 0,
                       "served": 0, "duplicates": 0, "device_s": 0.0,
                       "started_at": None}
@@ -188,6 +193,20 @@ class GenerationServer:
                 req.event.set()
 
     def _worker_loop(self):
+        """Overlapped round loop.
+
+        The device path (pipeline.launch_round) is one asynchronous jax
+        dispatch, so the worker keeps ONE round in flight while it pays
+        for the previous round's readback + host postproc (dedup,
+        detokenize, physchem): `pending` holds the dispatched-but-unread
+        round; before finishing it, the next round is pre-dispatched
+        against the expected shortfall (outstanding demand minus the
+        in-flight round's expected unique yield). On a tunneled TPU the
+        readback + host stage is a large slice of the round wall
+        (stats["stage_s"]), so the overlap directly compounds rounds
+        instead of serializing them. Over-yield lands in the spare buffer
+        (already globally deduped) and serves future demand."""
+        pending = None
         while True:
             with self._wake:
                 while True:
@@ -198,27 +217,50 @@ class GenerationServer:
                         self._distribute_locked(spare)
                     if not self._running:
                         return
-                    if self._outstanding() > 0:
+                    if self._outstanding() > 0 or pending is not None:
                         break
+                    self._fresh_burst = True
                     self._wake.wait()
                 demand = self._outstanding()
-            rows = self._run_round(demand)
+            if pending is None:
+                pending = self._launch_guarded(self._round_sizes(
+                    max(demand, 1), first=self._fresh_burst))
+                self._fresh_burst = False
+            nxt = None
+            shortfall = demand - self._expected_yield(pending[0])
+            if shortfall > 0:
+                nxt = self._launch_guarded(self._round_sizes(shortfall))
+            rows = self._finish_round(pending)
+            pending = nxt
             with self._wake:
                 self._distribute_locked(rows)
 
-    def _round_sizes(self, demand):
+    def _expected_yield(self, n):
+        """Expected unique accepted rows from an in-flight round of n
+        candidates, from the observed acceptance and duplicate rates
+        (conservative floors before any data)."""
+        acc = self.stats["accepted"] / max(self.stats["candidates"], 1)
+        acc = max(acc, 0.05)
+        uniq = 1.0 - (self.stats["duplicates"]
+                      / max(self.stats["accepted"], 1))
+        return n * acc * max(uniq, 0.1)
+
+    def _round_sizes(self, demand, first=False):
         """Candidate count for the next fused round: sized to outstanding
         demand at the observed acceptance rate (2x headroom for dedup and
         rate noise), clamped to [1, 4] compiled round shapes — powers of
         round_size keep the jit cache tiny while letting a big burst of
-        demand pull a big round. For the transformer family the burst is
-        further capped to the same KV-cache lane budget pipeline.run
-        enforces (pipeline.transformer_dispatch_budget) so a big dispatch
-        can't compile-OOM the server."""
+        demand pull a big round. The FIRST round after an idle period is
+        always one round_size: early arrivals get a small round's latency
+        and the backlog round overlaps behind it (_worker_loop). For the
+        transformer family the burst is further capped to the same
+        KV-cache lane budget pipeline.run enforces
+        (pipeline.transformer_dispatch_budget) so a big dispatch can't
+        compile-OOM the server."""
         acc = self.stats["accepted"] / max(self.stats["candidates"], 1)
         acc = max(acc, 0.05)  # before any data, assume a lean 5%
         want = int(2 * demand / acc)
-        mult = max(1, min(4, -(-want // self.round_size)))
+        mult = 1 if first else max(1, min(4, -(-want // self.round_size)))
         n = mult * self.round_size
         cap = self._max_candidates
         if cap is not None and n > cap:
@@ -238,21 +280,21 @@ class GenerationServer:
             n = max(n, 1)
         return n
 
-    def _run_round(self, demand):
-        n = self._round_sizes(demand)
+    def _launch_guarded(self, n):
+        """Dispatch one fused round asynchronously; returns (n, t_launch,
+        device outputs) for _finish_round. Lane-budget backstop mirrors
+        the batch loop's self-correcting clamp
+        (pipeline._fused_sampling_loop): halve and retry on a compile OOM
+        instead of killing the worker thread."""
         self._round_ix += 1
         t0 = time.perf_counter()
-        # lane-budget backstop, mirroring the batch loop's self-correcting
-        # clamp (pipeline._fused_sampling_loop): halve and retry on a
-        # compile OOM instead of killing the worker thread
         while True:
             try:
-                z, scores, accept, tokens, _idx, valid = \
-                    pipeline.launch_round(
-                        self.cfg, self.model, self.params, self.Q, n,
-                        jax.random.fold_in(self._key, self._round_ix),
-                        fused=True, mesh=self.mesh)
-                break
+                out = pipeline.launch_round(
+                    self.cfg, self.model, self.params, self.Q, n,
+                    jax.random.fold_in(self._key, self._round_ix),
+                    fused=True, mesh=self.mesh)
+                return n, t0, out
             except Exception as e:
                 oom = pipeline.is_device_oom(e)
                 shrink = n // 2
@@ -263,6 +305,15 @@ class GenerationServer:
                 LOG.warning("round OOM at %d candidates; retrying at %d",
                             n, shrink)
                 self._max_candidates = n = shrink
+
+    def _finish_round(self, pending):
+        """Materialize a dispatched round: block on the device outputs,
+        read them back, dedup/detokenize/physchem on host; returns row
+        dicts. The dispatch+device stage timer starts at launch time, so
+        under the overlapped worker loop it includes time the worker
+        spent post-processing the PREVIOUS round — that is the overlap
+        working as intended, not double-counted device time."""
+        n, t0, (z, scores, accept, tokens, _idx, valid) = pending
         jax.block_until_ready(tokens)
         t_dev = time.perf_counter()
         tokens_np = np.asarray(tokens)

@@ -141,7 +141,10 @@ def test_stop_fails_queued_requests():
     class _EmptyRounds(S.GenerationServer):
         # device-side members are never touched: rounds yield nothing,
         # so a generate() stays queued until stop() cancels it
-        def _run_round(self, demand):
+        def _launch_guarded(self, n):
+            return n, time.perf_counter(), None
+
+        def _finish_round(self, pending):
             time.sleep(0.05)
             return []
 
@@ -229,3 +232,22 @@ def test_round_sizes_respects_transformer_lane_budget():
     srv2 = S.GenerationServer(cfg=cfg, model=gru, params=None,
                               dataset=None, Q=None, round_size=5000)
     assert srv2._round_sizes(demand=100_000) == 4 * 5000
+
+
+def test_first_round_is_small_and_yield_estimates():
+    """The first round after an idle period is one round_size regardless
+    of burst demand (p50 path: early arrivals ride a small round while the
+    backlog round overlaps behind it), and the yield estimator applies
+    conservative floors before any stats exist."""
+    import types
+
+    cfg = types.SimpleNamespace(seed=0, hw=C.default_config().hw)
+    gru = types.SimpleNamespace(G_class="gru")
+    srv = S.GenerationServer(cfg=cfg, model=gru, params=None,
+                             dataset=None, Q=None, round_size=5000)
+    assert srv._round_sizes(demand=100_000, first=True) == 5000
+    assert srv._round_sizes(demand=100_000) == 4 * 5000
+    # no data yet: 5% acceptance floor, uniqueness optimistic at 1.0
+    assert srv._expected_yield(1000) == pytest.approx(1000 * 0.05)
+    srv.stats.update(candidates=1000, accepted=400, duplicates=40)
+    assert srv._expected_yield(1000) == pytest.approx(1000 * 0.4 * 0.9)
