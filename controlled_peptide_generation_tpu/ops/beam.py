@@ -334,14 +334,15 @@ def _beam_search_pallas(model, params, z, c, K, n_best, min_length, T):
             T=T, K=K, V=V, H=model.h_dec, min_length=min_length,
             n_best=n_best, block_b=pallas_beam.BLOCK_B,
             interpret=jax.default_backend() != "tpu"))
+    # tapes arrive batch-major [B, T, K] (the kernel's 2D-output layout,
+    # pallas_beam.beam_scan_gru docstring) — no transposes needed
     mask_steps = ys_steps == EOS_IDX                  # exact, see docstring
 
     prev0 = jnp.full((B, K), PAD_IDX, jnp.int32).at[:, 0].set(START_IDX)
-    ys = jnp.concatenate([prev0[None], ys_steps], axis=0)   # [T+1, B, K]
-    ys = jnp.swapaxes(ys, 0, 1)
-    ptrs = jnp.swapaxes(ptr_steps, 0, 1)
-    fin_mask = jnp.swapaxes(mask_steps, 0, 1).reshape(B, T * K)
-    fin_score = jnp.swapaxes(sc_steps, 0, 1).reshape(B, T * K)
+    ys = jnp.concatenate([prev0[:, None], ys_steps], axis=1)  # [B, T+1, K]
+    ptrs = ptr_steps
+    fin_mask = mask_steps.reshape(B, T * K)
+    fin_score = sc_steps.reshape(B, T * K)
     finalize = jax.vmap(partial(_finalize_one, K=K, n_best=n_best, T=T,
                                 fast=nn.fast_gathers_enabled()))
     return finalize(ys, ptrs, scores_f, adv_f, fin_f, fin_mask, fin_score)

@@ -7,8 +7,9 @@ round-tripping through HBM between them — BENCH.md's roofline puts it at
 the serialized scan + VPU bookkeeping. This kernel runs the ENTIRE T-step
 beam recurrence for a tile of sentences inside one pallas_call: weights,
 hidden state and all bookkeeping live in VMEM for all T steps, so the
-only HBM traffic is the per-tile inputs once and the [T, Bt, K] emission
-tape once.
+only HBM traffic is the per-tile inputs once and the [Bt, T*K] emission
+tape once (2D batch-tiled — see beam_scan_gru's "2D OUTPUTS ONLY" note
+for the miscompile this layout guards against).
 
 Layout: the NATURAL orientation — batch on sublanes, features on lanes —
 with one [Bt, .] tile per beam slot and the K-loop unrolled (tuples of K
@@ -88,7 +89,7 @@ def applicable(model, beam_size, dtype) -> bool:
 
 def _kernel(tok_t_ref, zc_gi_ref, wh_ref, wout_ref, zc0_ref,
             ys_ref, ptr_ref, sc_ref, scoref_ref, adv_ref, fin_ref,
-            *, T, K, V, H, Bt, min_length, n_best, dt):
+            *, T, K, V, H, Bt, TKp, min_length, n_best, dt):
     f32 = jnp.float32
 
     tok_t = tok_t_ref[:]                     # [Vp, 3Hp] gate-blocked
@@ -103,6 +104,11 @@ def _kernel(tok_t_ref, zc_gi_ref, wh_ref, wout_ref, zc0_ref,
     h_lane = jax.lax.broadcasted_iota(jnp.int32, (Bt, Hp), 1)
     is_bias_lane = h_lane == Hp - 1
     one = jnp.asarray(1.0, dt)
+    # emission-tape lane map: step t, beam k lands in lane t*K + k of a
+    # [Bt, TKp] accumulator carried through the loop. The tape is written
+    # as ONE 2D batch-tiled store at the end — see the module docstring's
+    # "2D outputs only" note for why no [T, Bt, K] output windows exist.
+    tk_lane = jax.lax.broadcasted_iota(jnp.int32, (Bt, TKp), 1)
 
     # Mosaic's bf16 logistic/tanh lowering mis-broadcasts an f32 constant
     # into a bf16 vector (VerificationError); computing the transcendental
@@ -121,11 +127,12 @@ def _kernel(tok_t_ref, zc_gi_ref, wh_ref, wout_ref, zc0_ref,
         return out.astype(dt)
 
     def step(t, carry):
-        h, scores, prev, adv, eos_top, fin = carry
+        h, scores, prev, adv, eos_top, fin, ys_acc, ptr_acc, sc_acc = carry
         # h: K x [Bt, Hp] dt (lane Hp-1 pinned to 1.0); scores: K x
         # [Bt, 1] f32; prev: K x [Bt, 1] i32; adv/fin/eos_top [Bt, 1]
         # i32 (Mosaic cannot carry i1 vectors through scf.for, so the
-        # sticky eos flag rides as 0/1 int)
+        # sticky eos flag rides as 0/1 int); ys/ptr/sc_acc [Bt, TKp]
+        # emission-tape accumulators (lane t*K+k <- step t, beam k)
         done = (eos_top > 0) & (fin >= n_best)                   # [Bt, 1]
         cur_len = adv + 1
         eos_early = cur_len < min_length
@@ -201,9 +208,15 @@ def _kernel(tok_t_ref, zc_gi_ref, wh_ref, wout_ref, zc0_ref,
             fin_new = fin_new + mask_k.astype(jnp.int32)
             scores_new.append(jnp.where(done, scores[k], best_l[k]))
             prev_new.append(jnp.where(done, prev[k], nexty_l[k]))
-            ys_ref[t, :, k:k + 1] = jnp.where(done, PAD_IDX, nexty_l[k])
-            ptr_ref[t, :, k:k + 1] = jnp.where(done, 0, prevk_l[k])
-            sc_ref[t, :, k:k + 1] = best_l[k]    # ungated, as beam.py emits
+            # emission tape: a lane-masked select into the [Bt, TKp]
+            # accumulators ([Bt, 1] payloads broadcast over lanes) — no
+            # per-step stores, no dynamic slicing
+            hit = tk_lane == t * K + k
+            ys_acc = jnp.where(hit, jnp.where(done, PAD_IDX, nexty_l[k]),
+                               ys_acc)
+            ptr_acc = jnp.where(hit, jnp.where(done, 0, prevk_l[k]),
+                                ptr_acc)
+            sc_acc = jnp.where(hit, best_l[k], sc_acc)  # ungated, as beam.py
             # beam reorder of the hidden state: K-way select chain
             hk = h_new[K - 1]
             for j in range(K - 2, -1, -1):
@@ -212,7 +225,7 @@ def _kernel(tok_t_ref, zc_gi_ref, wh_ref, wout_ref, zc0_ref,
         adv_new = jnp.where(done, adv, adv + 1)
 
         return (tuple(h_next), tuple(scores_new), tuple(prev_new),
-                adv_new, eos_new, fin_new)
+                adv_new, eos_new, fin_new, ys_acc, ptr_acc, sc_acc)
 
     zc0 = zc0_ref[:].astype(dt)                                  # [Bt, Hp]
     zc0 = jnp.where(is_bias_lane, one, zc0)
@@ -224,14 +237,23 @@ def _kernel(tok_t_ref, zc_gi_ref, wh_ref, wout_ref, zc0_ref,
     # ("Invalid relayout" at kernel compile time on v5e).
     zi = (zc0[:, :1].astype(f32) * 0.0).astype(jnp.int32)        # [Bt, 1]
     zf = zi.astype(jnp.float32)
+    # tape inits derived from the lane iota (not jnp.zeros) so the carry
+    # layout is lane-varying from iteration 0, matching the body's
+    # masked-select outputs (same "Invalid relayout" avoidance as zi/zf)
+    tz = tk_lane * 0
     carry = (
         tuple(zc0 for _ in range(K)),
         tuple(zf for _ in range(K)),
         tuple(zi + (START_IDX if k == 0 else PAD_IDX)
               for k in range(K)),
         zi, zi, zi,
+        tz, tz, tz.astype(jnp.float32),
     )
-    _, scores, _, adv, _, fin = jax.lax.fori_loop(0, T, step, carry)
+    (_, scores, _, adv, _, fin, ys_acc, ptr_acc, sc_acc) = (
+        jax.lax.fori_loop(0, T, step, carry))
+    ys_ref[:] = ys_acc
+    ptr_ref[:] = ptr_acc
+    sc_ref[:] = sc_acc
     for k in range(K):
         scoref_ref[:, k:k + 1] = scores[k]
     adv_ref[:] = adv
@@ -252,7 +274,7 @@ def beam_scan_gru(tok_table, zc_gi, wh, bh, w_out, b_out, zc0, *,
                   T, K, V, H, min_length, n_best, block_b=128,
                   interpret=False):
     """Run the fused beam scan; returns the same per-step tape and final
-    state as ops/beam.py's lax.scan, in [., B, K] layout.
+    state as ops/beam.py's lax.scan, in BATCH-MAJOR [B, T, K] layout.
 
     tok_table [V, 3H] (signed zeros already canonicalized), zc_gi [B, 3H]
     (input bias bi already folded in), wh [H, 3H], bh [3H], w_out [H, V],
@@ -262,8 +284,20 @@ def beam_scan_gru(tok_table, zc_gi, wh, bh, w_out, b_out, zc0, *,
     -> r/z = 0.5, n = 0, h' = 0.5 * h = 0); bh and b_out ride weight row
     Hp-1 against the hidden state's pinned 1.0 bias lane.
 
-    Returns (ys_steps [T,B,K] i32, ptr_steps [T,B,K] i32,
-             sc_steps [T,B,K] f32, scores [B,K] f32, adv [B] i32,
+    2D OUTPUTS ONLY (miscompile guard): the kernel emits the per-step
+    tapes as one [Bpad, TKp] batch-tiled array per tape (lane t*K + k),
+    NOT as [T, Bpad, K] windows. On this toolchain, 3D tape outputs are
+    silently corrupted between the kernel and its XLA consumers at
+    specific batch shapes (B = 6144/12288/20000... with block_b 128:
+    ~100%% of token rows scrambled while the 2D score/adv/fin outputs of
+    the very same call stay bit-exact, and a standalone jit of the same
+    kernel at the same B is bit-exact too — repro:
+    tools/repro_tape_scramble.py). Keeping every output 2D batch-tiled
+    keeps the whole result in the empirically safe family and also
+    deletes the [T, B, K] transposes the consumer needed.
+
+    Returns (ys_steps [B,T,K] i32, ptr_steps [B,T,K] i32,
+             sc_steps [B,T,K] f32, scores [B,K] f32, adv [B] i32,
              fin_cnt [B] i32).
     """
     B = zc_gi.shape[0]
@@ -274,6 +308,7 @@ def beam_scan_gru(tok_table, zc_gi, wh, bh, w_out, b_out, zc0, *,
     assert Bt % 8 == 0, "block_b must be a multiple of the sublane tile"
     Bpad = -(-B // Bt) * Bt
     grid = Bpad // Bt
+    TKp = -(-(T * K) // _LANE) * _LANE
 
     def gate_pad(a, axis):
         """pad each of the three H-wide gate sections to Hp along axis."""
@@ -294,19 +329,18 @@ def beam_scan_gru(tok_table, zc_gi, wh, bh, w_out, b_out, zc0, *,
                               bo_row.astype(wout_p.dtype)], 0)
     zc0_p = _pad_to(_pad_to(zc0, Bpad, 0), Hp, 1)                # [Bpad, Hp]
 
-    kern = functools.partial(_kernel, T=T, K=K, V=V, H=H, Bt=Bt,
+    kern = functools.partial(_kernel, T=T, K=K, V=V, H=H, Bt=Bt, TKp=TKp,
                              min_length=min_length, n_best=n_best, dt=dt)
     full = lambda s: pl.BlockSpec(s, lambda i: (0,) * len(s))
     tile2 = lambda d: pl.BlockSpec((Bt, d), lambda i: (i, 0))
-    tape = lambda dtype: jax.ShapeDtypeStruct((T, Bpad, K), dtype)
+    tape = lambda dtype: jax.ShapeDtypeStruct((Bpad, TKp), dtype)
     out_shapes = (
         tape(jnp.int32), tape(jnp.int32), tape(jnp.float32),
         jax.ShapeDtypeStruct((Bpad, K), jnp.float32),    # final scores
         jax.ShapeDtypeStruct((Bpad, 1), jnp.int32),      # adv
         jax.ShapeDtypeStruct((Bpad, 1), jnp.int32),      # fin_cnt
     )
-    tape_spec = pl.BlockSpec((T, Bt, K), lambda i: (0, i, 0))
-    out_specs = (tape_spec, tape_spec, tape_spec,
+    out_specs = (tile2(TKp), tile2(TKp), tile2(TKp),
                  tile2(K), tile2(1), tile2(1))
     ys, ptr, sc, scores, adv, fin = pl.pallas_call(
         kern,
@@ -318,5 +352,8 @@ def beam_scan_gru(tok_table, zc_gi, wh, bh, w_out, b_out, zc0, *,
         interpret=interpret,
     )(tok_t, zc_gi_p, wh_p, wout_p, zc0_p)
 
-    return (ys[:, :B], ptr[:, :B], sc[:, :B],
+    def tapes(a):
+        return a[:B, :T * K].reshape(B, T, K)
+
+    return (tapes(ys), tapes(ptr), tapes(sc),
             scores[:B], adv[:B, 0], fin[:B, 0])

@@ -192,3 +192,21 @@ def test_fused_accepted_only_matches_decode_all(setup):
     np.testing.assert_array_equal(np.asarray(idx)[:n_acc], acc_idx)
     np.testing.assert_array_equal(np.asarray(tok_c)[:n_acc],
                                   np.asarray(tok_all)[acc_idx])
+
+
+def test_batch_shape_invariance(setup):
+    """Top-1 outputs for the same (z, c) must be bit-identical whatever
+    batch size they are decoded at. This is the invariant the 3D-tape
+    scramble broke (B = 6144/12288/20000 at block_b 128 returned ~100%
+    scrambled token rows with bit-exact scores — the round-4 "53%
+    duplicates" campaign incident; tools/repro_tape_scramble.py carries
+    the full protocol). The kernel now emits 2D batch-tiled tapes only;
+    this pins that guarantee on hardware at a known-breaking shape."""
+    _, model, params = setup
+    z, c = _prior(model, 13, 6144)
+    h_small, s_small = _pallas_beam(model, params, z[:2048], c[:2048],
+                                    beam_size=5, n_best=1)
+    h_break, s_break = _pallas_beam(model, params, z, c,
+                                    beam_size=5, n_best=1)
+    np.testing.assert_array_equal(h_small, h_break[:2048])
+    np.testing.assert_array_equal(s_small, s_break[:2048])

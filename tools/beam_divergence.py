@@ -18,6 +18,15 @@ samples from a fixed key, top-1 beam-decode them under all four
                       sentences (the "how near a tie" statistic)
   * max_score_d     — worst-case |score delta| (should stay near-tie
                       small relative to typical |scores| ~ tens)
+  * uniq_a/uniq_b/uniq_ratio — unique-sequence yield per side and their
+                      ratio: near-tie flips keep it ~1.0; a collapse is
+                      the campaign-quality failure pct_differ alone
+                      missed (round-4 tape scramble,
+                      tools/repro_tape_scramble.py)
+
+Defaults measure at CAMPAIGN scale (n=20000, chunk=25000 — the
+production beam_chunk): the round-4 scramble was invisible at the old
+n=2048 protocol and catastrophic at production batch shapes.
 
 Pairs: xla_fp32-vs-xla_bf16 (the dtype floor), pallas_fp32-vs-xla_fp32
 and pallas_bf16-vs-xla_bf16 (the kernel's matched-dtype divergence).
@@ -74,12 +83,22 @@ def decode_all(model, params, z, c, beam_size, chunk):
     return np.concatenate(toks), np.concatenate(scs)
 
 
+def _uniques(tokens):
+    """Unique decoded sequences under the pipeline's dedup key (stripped
+    residue content, pipeline.canonical_keys)."""
+    from controlled_peptide_generation_tpu.pipeline import canonical_keys
+    return len(set(canonical_keys(tokens)))
+
+
 def main(argv=None):
     extra = [
-        ("--n", dict(type=int, default=2048, help="prior samples")),
+        ("--n", dict(type=int, default=20000,
+                     help="prior samples (campaign-scale default: the "
+                          "round-4 tape scramble was invisible at 2048)")),
         ("--beam_size", dict(type=int, default=5)),
-        ("--chunk", dict(type=int, default=2048,
-                         help="decode dispatch size")),
+        ("--chunk", dict(type=int, default=25000,
+                         help="decode dispatch size (production "
+                              "beam_chunk default)")),
         ("--key", dict(type=int, default=0, help="PRNG key for z,c draw")),
         ("--update-details", dict(action="store_true", default=False)),
     ]
@@ -122,12 +141,18 @@ def main(argv=None):
         tb, sb = runs[b]
         differ = (ta != tb).any(axis=1)
         d = np.abs(sa - sb)[differ]
+        # uniqueness parity: near-tie flips leave the unique-sequence
+        # yield ~equal; a systematic collapse (uniq_ratio well below 1)
+        # is the campaign-quality failure mode pct_differ alone missed
+        ua, ub = _uniques(ta), _uniques(tb)
         out[name] = {
             "pct_differ": round(100.0 * float(differ.mean()), 2),
             "median_score_d": (round(float(np.median(d)), 4)
                                if differ.any() else 0.0),
             "max_score_d": (round(float(d.max()), 4)
                             if differ.any() else 0.0),
+            "uniq_a": ua, "uniq_b": ub,
+            "uniq_ratio": round(ua / max(ub, 1), 4),
         }
     print(json.dumps(out), flush=True)
 
