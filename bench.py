@@ -30,6 +30,7 @@ import argparse
 import json
 import logging
 import os
+import re
 import sys
 import time
 
@@ -1077,7 +1078,18 @@ def main():
         return
 
     baseline = load_baseline()
+    # merge into the existing details so keys owned by other tools
+    # (serve: tools/bench_serve.py, divergence: tools/beam_divergence.py)
+    # survive an --all refresh; superseded key layouts are dropped here
+    # so no stale row can contradict the fresh table (the pre-round-3
+    # beam keys carried no beam-path label)
     details = {}
+    if args.all and os.path.exists("BENCH_DETAILS.json"):
+        with open("BENCH_DETAILS.json") as fh:
+            details = json.load(fh)
+        details = {k: v for k, v in details.items()
+                   if not re.match(
+                       r"^beam_decode_seqs_per_sec_\d+_(fp32|bf16)$", k)}
     kw = dict(n_per_round=1000, min_accepted=20) if args.fast else {}
     v_loop, v_class = bench_class(cfg, model, params, **kw)
     # headline = the batched execution (identical candidate workload —

@@ -344,6 +344,14 @@ def default_config():
                               # Pallas train"); "on" opts in (gradient
                               # math identical up to float
                               # re-association, tests/test_pallas_gru.py)
+        flat_optimizer="auto",  # phase-1 clip+adam on ONE raveled param
+                                # vector (train/opt.py) instead of
+                                # per-leaf optax kernels: "auto" = off,
+                                # "on" opts in (same math up to float
+                                # re-association; opt-state checkpoint
+                                # layout differs — don't flip across a
+                                # resume). tools/bench_flat_adam.py
+                                # carries the measurement
         pallas_beam="auto",   # GRU beam kernel route (ops/pallas_beam.py):
                               # "auto" = fused Pallas kernel on the TPU
                               # backend (1.28-1.58x, near-tie flips only),
@@ -552,10 +560,13 @@ def finalize(cfg, overrides=None):
     # consumers (e.g. tools reading a JSON) shouldn't pay for.
     from .ops import beam as _beam
     from .ops import gru as _gru
+    from .train import opt as _opt
     _beam.set_pallas_beam(_parse_tristate("hw.pallas_beam",
                                           cfg.hw.pallas_beam))
     _gru.set_pallas_train(_parse_tristate("hw.pallas_train",
                                           cfg.hw.pallas_train))
+    _opt.set_flat_optimizer(_parse_tristate("hw.flat_optimizer",
+                                            cfg.hw.flat_optimizer))
 
     def set_result_filenames(cfgv, list_of_fns):
         for fieldname, fn in list_of_fns:

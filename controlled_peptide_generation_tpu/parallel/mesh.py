@@ -72,10 +72,10 @@ def make_dp_train_step(model, cfgv, cfg_losses, rf_basis, mesh,
     the mesh axis, params/optimizer state replicated, gradient reduction
     compiled to an XLA psum over ICI."""
     from ..train.train_vae import make_loss_fn
+    from ..train.opt import make_optimizer
 
-    optimizer = optax.chain(
-        optax.clip_by_global_norm(cfgv.clip_grad),
-        optax.adam(cfgv.lr))
+    # shared builder: follows hw.flat_optimizer like the 1-device step
+    optimizer = make_optimizer(cfgv)
     beta_sched = cfgv.beta
 
     repl = NamedSharding(mesh, P())

@@ -26,15 +26,9 @@ from ..utils.annealing import anneal
 from ..utils import logging as tblog
 from ..generation import generate_sentences
 from . import checkpoints
+from .opt import make_optimizer  # noqa: F401  (re-export; impl in opt.py)
 
 log = logging.getLogger(__name__)
-
-
-def make_optimizer(cfgv):
-    return optax.chain(
-        optax.clip_by_global_norm(cfgv.clip_grad),
-        optax.adam(cfgv.lr),
-    )
 
 
 def make_loss_fn(model, cfgv, mmd_cfg, rf_basis):
