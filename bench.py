@@ -32,9 +32,96 @@ import logging
 import os
 import re
 import sys
+import threading
 import time
 
 logging.basicConfig(level=logging.WARNING)
+
+# ---------------------------------------------------------------------------
+# Degraded-mode protection. The tunneled backend's first D2H transfer can
+# wedge indefinitely (measured 67-412s, sometimes >10min —
+# tools/repro_first_d2h.py); round 4's official capture died rc=124 with a
+# silent tail because this harness had no heartbeat and no deadline. Three
+# defenses, all active by default:
+#   1. phase stamping + a stderr heartbeat (utils/runtime.py): any killed
+#      run's tail names the stuck phase ("waiting: bench_class compile 120s");
+#   2. the first-D2H wait is BOUNDED (wait_first_transfer(timeout=...));
+#   3. a total deadline (CPG_BENCH_DEADLINE_S, default 1500s — safely under
+#      the driver's 30-min budget) after which a reaper thread emits the
+#      final JSON line from whatever phases completed, flagged
+#      "degraded": true with per-phase status, and exits 0 — the driver
+#      parses a record instead of recording rc=124.
+# Regression-tested against a simulated wedged transfer in
+# tests/test_bench_degraded.py.
+# ---------------------------------------------------------------------------
+
+DEADLINE_S = float(os.environ.get("CPG_BENCH_DEADLINE_S", "1500"))
+
+_STATE_LOCK = threading.Lock()
+_STATE = {"done": False, "phases": {}, "result": None}
+
+
+_LAST_PHASE = [None]
+
+
+def phase(name):
+    """Stamp the current phase (heartbeat + degraded-JSON diagnostics).
+    Entering a new phase marks the previous one ok unless phase_done()
+    recorded a specific note for it."""
+    from controlled_peptide_generation_tpu.utils import runtime
+    runtime.set_phase(name)
+    with _STATE_LOCK:
+        prev = _LAST_PHASE[0]
+        if prev is not None and _STATE["phases"].get(prev) == "running":
+            _STATE["phases"][prev] = "ok"
+        _STATE["phases"][name] = "running"
+        _LAST_PHASE[0] = name
+    if os.environ.get("CPG_BENCH_SELFTEST_WEDGE") == name:
+        time.sleep(10 ** 6)  # test hook: simulate a wedge in this phase
+
+
+def phase_done(name, note="ok"):
+    with _STATE_LOCK:
+        _STATE["phases"][name] = note
+
+
+def set_partial_result(payload):
+    """Record the best-so-far final JSON; the deadline reaper emits it
+    (plus degraded/diagnostic fields) if a later phase wedges."""
+    with _STATE_LOCK:
+        _STATE["result"] = dict(payload)
+
+
+def finish(payload):
+    """Normal completion: print the one-line JSON and mark done."""
+    with _STATE_LOCK:
+        _STATE["done"] = True
+    print(json.dumps(payload), flush=True)
+
+
+def start_deadline(deadline_s=DEADLINE_S):
+    from controlled_peptide_generation_tpu.utils import runtime
+
+    def _reap():
+        time.sleep(deadline_s)
+        with _STATE_LOCK:
+            if _STATE["done"]:
+                return
+            payload = dict(_STATE["result"] or {
+                "metric": "CLaSS accepted samples/sec", "value": None,
+                "unit": "accepted samples/sec", "vs_baseline": None})
+            payload["phases"] = dict(_STATE["phases"])
+        name, elapsed = runtime.current_phase()
+        payload["degraded"] = True
+        payload["stuck_phase"] = f"{name} ({elapsed:.0f}s)"
+        log(f"DEADLINE: {deadline_s:.0f}s budget expired while in phase "
+            f"{name!r} ({elapsed:.0f}s); emitting partial results")
+        print(json.dumps(payload), flush=True)
+        sys.stderr.flush()
+        os._exit(0)  # main thread may be wedged in a blocking C call
+
+    threading.Thread(target=_reap, name="bench-deadline",
+                     daemon=True).start()
 
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "CPU_BASELINE.json")
@@ -449,8 +536,11 @@ def bench_class(cfg, model, params, n_per_round=5000, min_accepted=100,
            else f"accepted-only cap={capacity_frac}")
 
     # compile the fused round once (excluded from timing)
+    from controlled_peptide_generation_tpu.utils import runtime
+    runtime.set_phase(f"bench_class compile ({tag})")
     accept, tokens = run_round(key, n_per_round)
     jax.block_until_ready(tokens)
+    runtime.set_phase(f"bench_class rounds ({tag})")
 
     # steady-state: rounds are independent until the host-side dedup, so
     # they pipeline; the reference's >=min_accepted stop criterion is hit
@@ -712,6 +802,8 @@ def bench_mfu(cfg, model, params, fast=False):
     from controlled_peptide_generation_tpu.train.train_vae import (
         make_train_scan)
 
+    from controlled_peptide_generation_tpu.utils import runtime
+
     kind, (peak_f, peak_bw) = chip_peaks()
     log(f"MFU accounting on {kind!r}: bf16 peak "
         f"{(peak_f or 0) / 1e12:.0f} TFLOP/s, HBM {(peak_bw or 0) / 1e9:.0f} "
@@ -735,6 +827,7 @@ def bench_mfu(cfg, model, params, fast=False):
                      for tp in (("pallas", "xla") if t_applicable
                                 else ("xla",))
                      for b in ((32,) if fast else (32, 256, 1024))]:
+        runtime.set_phase(f"mfu: wae_train b{B} {tpath}")
         gru_mod.set_pallas_train(tpath == "pallas")
         jax.clear_caches()
         chunk_step, opt = make_train_scan(model, cfg.vae, cfg.losses, rf,
@@ -793,6 +886,7 @@ def bench_mfu(cfg, model, params, fast=False):
             if path == "pallas" and not pallas_beam.applicable(model, 5,
                                                                dt):
                 continue
+            runtime.set_phase(f"mfu: beam {chunk} {dtype} {path}")
             dec_params = (params if dt == jnp.float32
                           else nn.cast_tree(params, dt))
 
@@ -840,6 +934,7 @@ def bench_mfu(cfg, model, params, fast=False):
         jax.clear_caches()
         for mode, cap in (("decode_all", None),
                           ("accepted_only", n_round // 2)):
+            runtime.set_phase(f"mfu: fused_round {mode} {path}")
             def body(k, _cap=cap):
                 out = fused_round(model, params, k, Q, n_round,
                                   capacity=_cap)
@@ -861,6 +956,7 @@ def bench_mfu(cfg, model, params, fast=False):
     # --- transformer family: train step + KV-cache beam ---
     from controlled_peptide_generation_tpu import config as C
     from controlled_peptide_generation_tpu.models import build_model
+    runtime.set_phase("mfu: transformer train")
     tcfg = C.default_config()
     tcfg.vae.update(tcfg.shared)
     tcfg.model.E_args.E_class = "transformer"
@@ -898,6 +994,7 @@ def bench_mfu(cfg, model, params, fast=False):
              flops_transformer_train(tcfg, tmodel, B), dev_s, peak_f,
              per=B / dev_s, per_unit="seqs_per_s")
 
+    runtime.set_phase("mfu: transformer beam")
     tdec = nn.cast_tree(tparams, jnp.bfloat16)
 
     def tbody(k):
@@ -1008,26 +1105,39 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     from controlled_peptide_generation_tpu.utils import runtime
+    runtime.start_heartbeat()
+    start_deadline()
+    phase("runtime.setup")
     runtime.setup()
 
     import jax
+    phase("device discovery")
     log(f"devices: {jax.devices()}")
+    phase("build model")
     cfg, model, params = build()
     # The first D2H of a process stalls 67-412s in degraded tunnel phases
     # (tools/repro_first_d2h.py); runtime.setup() started paying it on a
-    # background thread during build(). Join it HERE so the tax can never
-    # land inside a timed region below.
-    stall = runtime.wait_first_transfer()
+    # background thread during build(). Join it HERE — boundedly, with
+    # heartbeats — so the tax can never land inside a timed region below,
+    # and a wedged tunnel can't consume the whole deadline budget.
+    phase("first-D2H warmup")
+    stall = runtime.wait_first_transfer(timeout=0.4 * DEADLINE_S)
+    phase_done("first-D2H warmup",
+               "ok" if stall is not None else "timed out/not applicable")
     if stall is not None:
         log(f"first-D2H warmup: {stall:.1f}s (excluded from all timings)")
 
     if args.write_baseline:
+        phase("write-baseline")
         write_baseline(cfg, model, params, fast=args.fast)
+        finish({"metric": "baseline written", "value": 1, "unit": "file",
+                "vs_baseline": None})
         return
 
     if args.mfu:
         assert jax.devices()[0].platform != "cpu", (
             "MFU accounting is defined against the TPU peak; run on TPU")
+        phase("mfu accounting")
         mfu = bench_mfu(cfg, model, params, fast=args.fast)
         existing = {}
         if os.path.exists("BENCH_DETAILS.json"):
@@ -1037,12 +1147,12 @@ def main():
         with open("BENCH_DETAILS.json", "w") as fh:
             json.dump(existing, fh, indent=2)
         best = max((r.get("mfu_pct", 0) for r in mfu["rows"]), default=0)
-        print(json.dumps({
+        finish({
             "metric": "best workload MFU",
             "value": best,
             "unit": "% of chip bf16 peak",
             "vs_baseline": None,
-        }))
+        })
         return
 
     if args.dp:
@@ -1053,28 +1163,31 @@ def main():
         kw = dict(n_per_round=1000, n_dispatches=2) if args.fast else {}
         if args.dp_mode == "accepted":
             kw["capacity_frac"] = 0.5
-        rates = {n: bench_class_dp(cfg, model, params, n, **kw)
-                 for n in sizes}
+        rates = {}
+        for n in sizes:
+            phase(f"dp sweep n={n}")
+            rates[n] = bench_class_dp(cfg, model, params, n, **kw)
         for n, r in rates.items():
             log(f"dp={n}: {r:.1f} accepted/s "
                 f"({r / rates[sizes[0]]:.2f}x vs dp=1)")
-        print(json.dumps({
+        finish({
             "metric": "CLaSS accepted samples/sec by mesh size",
             "value": {str(n): round(r, 1) for n, r in rates.items()},
             "unit": "accepted samples/sec",
             "vs_baseline": round(rates[sizes[-1]] / rates[sizes[0]], 2),
-        }))
+        })
         return
 
     if args.tp:
+        phase("tp sweep")
         rates = bench_tp(cfg, args.tp,
                          n_steps=10 if args.fast else 30)
-        print(json.dumps({
+        finish({
             "metric": "transformer TP train steps/sec by mesh shape",
             "value": {k: round(r, 1) for k, r in rates.items()},
             "unit": "train steps/sec",
             "vs_baseline": None,   # no baseline exists for this sweep
-        }))
+        })
         return
 
     baseline = load_baseline()
@@ -1091,7 +1204,21 @@ def main():
                    if not re.match(
                        r"^beam_decode_seqs_per_sec_\d+_(fp32|bf16)$", k)}
     kw = dict(n_per_round=1000, min_accepted=20) if args.fast else {}
+    phase("bench_class decode-all")
     v_loop, v_class = bench_class(cfg, model, params, **kw)
+    # provisional partial result: if the accepted-only phase wedges, the
+    # deadline reaper still reports a real measured rate (decode-all mode,
+    # compared against the decode-all baseline — like-for-like)
+    set_partial_result({
+        "metric": "CLaSS accepted samples/sec",
+        "value": round(v_class, 3),
+        "unit": "accepted samples/sec",
+        "vs_baseline": round(
+            v_class / baseline["class_accepted_samples_per_sec"], 2),
+        "note": "provisional: decode-all mode (accepted-only phase "
+                "did not complete)",
+    })
+    phase("bench_class accepted-only")
     # headline = the batched execution (identical candidate workload —
     # 10x5000 drawn/scored per program; the per-round dispatch loop is
     # kept in details for comparison) in accepted-only decode mode
@@ -1126,9 +1253,31 @@ def main():
         log(f"vs our-CPU (same mode): {details['vs_our_cpu_same_mode']:.1f}x"
             f"; vs reference-style CPU: "
             f"{details['vs_reference_style_cpu']:.1f}x")
+    # the headline is now measured: make it the reaper's partial result so
+    # a wedge anywhere in the --all extras still reports the real number
+    ratio = (headline / refstyle if refstyle
+             else headline / baseline[base_key])
+    final_payload = {
+        "metric": "CLaSS accepted samples/sec",
+        "value": round(headline, 3),
+        "unit": "accepted samples/sec",
+        "vs_baseline": round(ratio, 2),
+    }
+    set_partial_result(final_payload)
+
+    def flush_details():
+        """Persist BENCH_DETAILS.json after every --all section so a
+        wedge mid-sweep loses one section, not the whole table."""
+        with open("BENCH_DETAILS.json", "w") as fh:
+            json.dump(details, fh, indent=2)
+
     if args.all:
+        flush_details()
+        phase("bench_train")
         details["wae_train_steps_per_sec"] = bench_train(
             cfg, model, params, n_steps=30 if args.fast else 100)
+        flush_details()
+        phase("beam table")
         # beam table: chunk size x compute dtype x beam route (fp32 =
         # bit-parity path, bf16 = MXU-native production decode; every key
         # names the route it measured — "pallas" is the TPU default,
@@ -1158,35 +1307,37 @@ def main():
             f"{default_path}")
         details["beam_decode_seqs_per_sec"] = \
             details[f"beam_decode_seqs_per_sec_1024_fp32_{default_path}"]
+        flush_details()
         # the 4096-candidates-per-round CLaSS shape (BENCH.md "next knob")
+        phase("bench_class 4096-round")
         _, details["class_accepted_samples_per_sec_4096round"] = bench_class(
             cfg, model, params,
             **(dict(n_per_round=1000, min_accepted=20) if args.fast
                else dict(n_per_round=4096)))
+        flush_details()
+        phase("bench_full_train")
         details["full_train_steps_per_sec"] = bench_full_train(
             cfg, model, params, n_steps=20 if args.fast else 60)
+        flush_details()
+        phase("bench_transformer")
         tr, bm = bench_transformer(
             cfg, n_steps=20 if args.fast else 60,
             chunk=256 if args.fast else 1024)
         details["transformer_train_steps_per_sec"] = tr
         details["transformer_beam_seqs_per_sec"] = bm
+        flush_details()
+        phase("bench_reject_1m")
         details["reject_1m_latents_per_sec"] = bench_reject_1m(
             cfg, model, params,
             n_latents=100_000 if args.fast else 1_000_000)
+        flush_details()
         if jax.devices()[0].platform != "cpu":
+            phase("mfu accounting")
             details["mfu"] = bench_mfu(cfg, model, params, fast=args.fast)
-        with open("BENCH_DETAILS.json", "w") as fh:
-            json.dump(details, fh, indent=2)
+        flush_details()
         log(json.dumps(details, indent=2))
 
-    ratio = (headline / refstyle if refstyle
-             else headline / baseline[base_key])
-    print(json.dumps({
-        "metric": "CLaSS accepted samples/sec",
-        "value": round(headline, 3),
-        "unit": "accepted samples/sec",
-        "vs_baseline": round(ratio, 2),
-    }))
+    finish(final_payload)
 
 
 if __name__ == "__main__":

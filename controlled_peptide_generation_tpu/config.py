@@ -359,6 +359,19 @@ def default_config():
                               # "off" = oracle-exact XLA scan everywhere
                               # (bit-reproducible, or if a Mosaic
                               # toolchain regression hits the kernel)
+        beam_canary_floor=0.02,  # runtime Pallas-beam miscompile canary:
+                                 # WARN + fall back to the XLA beam arm
+                                 # when a production round's within-round
+                                 # unique-sequence ratio drops below this
+                                 # floor while the Pallas route is active
+                                 # (the round-4 tape scramble survived the
+                                 # offline divergence protocol — this
+                                 # catches the next shape-dependent
+                                 # miscompile class in production; the
+                                 # stat is host-side on materialized
+                                 # tokens, overhead ~0). 0 disables.
+        beam_canary_min_rows=256,  # rounds smaller than this are too
+                                   # noisy for the uniq-ratio floor
         tfm_lane_budget_gb=4.0,  # transformer family: per-device HBM
                                  # budget for fused-round KV-cache lanes
                                  # (pipeline.transformer_dispatch_budget);

@@ -270,6 +270,7 @@ def curate(raw_dir, out_dir, seed=0):
     unlab_out.to_csv(os.path.join(out_dir, "unlab.csv"), index=False)
 
     # ---- solubility (optional inputs) ----
+    sol_n = 0
     sol_dir = os.path.join(raw_dir, "solubility")
     if os.path.isdir(sol_dir):
         parts = []
@@ -284,11 +285,47 @@ def curate(raw_dir, out_dir, seed=0):
             sol_out = shuffled(spaced(sol)[["text", "sol"]])
             sol_out.to_csv(os.path.join(out_dir, "sol_lab.csv"),
                            index=False)
-    else:
-        LOG.info("no solubility inputs under %s; skipping sol_lab.csv",
-                 sol_dir)
+            sol_n = len(sol_out)
+    if sol_n == 0:
+        # schema'd placeholder: the full cfg contract names 7 csv files
+        # (config.AMP_CSV_FILES / reference cfg.py:340-341); when the raw
+        # solubility download is absent the file still exists with the
+        # right columns so `--dataset amp` exercises the 7-file path
+        pd.DataFrame(columns=["text", "sol"]).to_csv(
+            os.path.join(out_dir, "sol_lab.csv"), index=False)
+        LOG.info("no solubility inputs under %s; wrote header-only "
+                 "sol_lab.csv", sol_dir)
 
-    return {"amp": len(amp), "tox": len(tox), "unlab": len(unlab)}
+    # ---- SATPDB function-derived single-label corpora ----
+    # The reference's released config reads anticancer.csv /
+    # antihypertensive.csv / cell-cell.csv with single-value attribute
+    # columns (cfg.py:366-368: anticancer=1, antihyper=1, hormone='cell').
+    # SATPDB's function annotations are the natural source: its
+    # Major.Functions/Sub.functions strings name these categories
+    # directly, the same way the tox curation reads its 'toxic' rows.
+    def satpdb_func_corpus(substr, col, value, out_name):
+        mask = (satpdb["Major.Functions"].astype(str).str.lower()
+                .str.contains(substr)
+                | satpdb["Sub.functions"].astype(str).str.lower()
+                .str.contains(substr))
+        df = _clean(satpdb[mask][["seq"]].drop_duplicates("seq"))
+        df = df.assign(**{col: value})
+        out = shuffled(spaced(df)[["text", col]])
+        out.to_csv(os.path.join(out_dir, out_name), index=False)
+        LOG.info("%s: %d rows (satpdb %r)", out_name, len(out), substr)
+        return len(out)
+
+    n_anticancer = satpdb_func_corpus(
+        "anticancer", "anticancer", "anticancer", "anticancer.csv")
+    n_antihyper = satpdb_func_corpus(
+        "antihypertensive", "antihyper", "antihyper",
+        "antihypertensive.csv")
+    n_cell = satpdb_func_corpus(
+        "cell-cell", "hormone", "cell", "cell-cell.csv")
+
+    return {"amp": len(amp), "tox": len(tox), "unlab": len(unlab),
+            "sol": sol_n, "anticancer": n_anticancer,
+            "antihyper": n_antihyper, "cell": n_cell}
 
 
 def main():

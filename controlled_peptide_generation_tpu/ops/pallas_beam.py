@@ -76,10 +76,21 @@ def set_block_b(value):
 
 
 def applicable(model, beam_size, dtype) -> bool:
-    """True when beam_search can route through this kernel."""
+    """True when beam_search can route through this kernel.
+
+    The T*K cap: the round-4 tape-scramble fix made tape emission K
+    masked full-width selects over [Bt, TKp] accumulators per step per
+    tape — O(T^2 K^2) VPU work and 3 TKp-wide carries of VMEM, fine at
+    the reference shape (T=25, K=5 -> TKp=128, one lane tile) but
+    quadratically worse with sequence length. Gate at TKp <= 2*_LANE so a
+    future longer-sequence config silently falls back to the XLA arm
+    instead of blowing VMEM or regressing past it (the divergence
+    protocol covers both arms either way)."""
     if model.G_class != "gru":
         return False
     if model.gru_args.get("skip_connections", False):
+        return False
+    if model.max_seq_len * beam_size > 2 * _LANE:
         return False
     return (model.n_vocab <= _LANE and model.h_dec <= _LANE - 1
             and 1 < beam_size <= model.n_vocab - 2

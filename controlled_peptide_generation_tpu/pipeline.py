@@ -554,6 +554,53 @@ def canonical_keys(tokens):
     return map(bytes, keys)
 
 
+def beam_canary_check(cfg, model, n_rows, n_unique, context=""):
+    """Runtime Pallas-beam miscompile canary (VERDICT r4 item 6).
+
+    The round-4 tape scramble was a shape-dependent Mosaic miscompile
+    that survived the offline divergence protocol (its probe shape
+    happened to compile correctly) and silently scrambled production
+    campaign output. Its signature — and that of any tape-corruption
+    class — is a collapse of WITHIN-ROUND unique decoded sequences.
+    This check runs on every production round's already-materialized
+    host tokens (the dedup pass computes the unique count anyway, so
+    overhead is ~0): when the unique ratio drops below
+    hw.beam_canary_floor while the fused Pallas beam route is active,
+    it logs one WARNING and flips the process to the oracle-exact XLA
+    arm (set_pallas_beam(False) + cache clear so in-flight compiled
+    programs are retraced). Returns True when it tripped — callers
+    should DISCARD the tripping round's rows (they may be scrambled)
+    and drop any rounds pre-dispatched on the old route.
+
+    A genuinely collapsed model also yields low uniqueness — but then
+    the XLA arm reproduces it and the check never re-trips (the route
+    predicate below is False once flipped), so the cost of a false
+    positive is one recompile, never a loop."""
+    floor = float(cfg.hw.get("beam_canary_floor", 0.02))
+    min_rows = int(cfg.hw.get("beam_canary_min_rows", 256))
+    if floor <= 0 or n_rows < min_rows:
+        return False
+    if n_unique / max(n_rows, 1) >= floor:
+        return False
+    from .ops import beam as beam_mod
+    from .ops import pallas_beam
+    gen_dtype = jnp.dtype(cfg.hw.get("gen_dtype", "bfloat16"))
+    if not (beam_mod.pallas_beam_enabled()
+            and pallas_beam.applicable(model, DECODE_BEAM_SIZE,
+                                       gen_dtype)):
+        return False  # already on the XLA arm: low uniqueness is real
+    LOG.warning(
+        "BEAM CANARY tripped%s: %d/%d unique decoded sequences "
+        "(< hw.beam_canary_floor=%.3f) on the Pallas beam route — "
+        "possible shape-dependent miscompile (see BENCH.md 'tape "
+        "scramble'); falling back to the XLA beam arm and discarding "
+        "this round", f" ({context})" if context else "", n_unique,
+        n_rows, floor)
+    beam_mod.set_pallas_beam(False)
+    jax.clear_caches()
+    return True
+
+
 def _fused_sampling_loop(cfg, args, model, params, dataset, Q, key,
                          round_size, mesh):
     """Overlapped sampling loop: up to hw.rounds_in_flight rounds are
@@ -663,8 +710,18 @@ def _fused_sampling_loop(cfg, args, model, params, dataset, Q, key,
         # strings only for the survivors: at the high duplicate rates of
         # collapsed models this skips >95% of the python string work vs
         # deduping on rendered strings.
+        keys = list(canonical_keys(tokens))
+        # runtime miscompile canary: a tape-corruption class collapses
+        # within-round uniqueness; on a trip, flip to the XLA arm,
+        # discard this round AND the pre-dispatched in-flight rounds
+        # (they ran the suspect program), and continue — the candidate
+        # stream stays unbiased (fresh fold_in keys, i.i.d. draws)
+        if beam_canary_check(cfg, model, len(keys), len(set(keys)),
+                             context=f"campaign round {round_ix}"):
+            inflight.clear()
+            continue
         keep = np.empty(tokens.shape[0], bool)
-        for i, rb in enumerate(canonical_keys(tokens)):
+        for i, rb in enumerate(keys):
             if rb in seen:
                 keep[i] = False
             else:

@@ -98,11 +98,11 @@ class GenerationServer:
         self._running = False
         self._worker = None
         self._round_ix = 0
-        # demand that arrives on an idle server gets a SMALL first round
-        # (one round_size) so early arrivals see first-token latency of a
-        # small round, while the backlog-sized big round is pre-dispatched
-        # behind it (see _worker_loop overlap) — p50 without throughput loss
-        self._fresh_burst = True
+        self._canary_tripped = False
+        # in-flight bounded rounds (worker loop): enough to hide readback
+        # + host postproc behind device work, small enough that a fresh
+        # request never waits behind a deep queue of stale rounds
+        self._depth = max(int(cfg.hw.get("rounds_in_flight", 2)), 1) + 1
         self.stats = {"rounds": 0, "candidates": 0, "accepted": 0,
                       "served": 0, "duplicates": 0, "device_s": 0.0,
                       "started_at": None}
@@ -193,20 +193,23 @@ class GenerationServer:
                 req.event.set()
 
     def _worker_loop(self):
-        """Overlapped round loop.
+        """Overlapped BOUNDED-round loop.
 
         The device path (pipeline.launch_round) is one asynchronous jax
-        dispatch, so the worker keeps ONE round in flight while it pays
-        for the previous round's readback + host postproc (dedup,
-        detokenize, physchem): `pending` holds the dispatched-but-unread
-        round; before finishing it, the next round is pre-dispatched
-        against the expected shortfall (outstanding demand minus the
-        in-flight round's expected unique yield). On a tunneled TPU the
-        readback + host stage is a large slice of the round wall
-        (stats["stage_s"]), so the overlap directly compounds rounds
-        instead of serializing them. Over-yield lands in the spare buffer
-        (already globally deduped) and serves future demand."""
-        pending = None
+        dispatch, so the worker keeps a small queue of rounds in flight
+        while it pays for the oldest round's readback + host postproc
+        (dedup, detokenize, physchem). Every round is at most ONE
+        round_size of candidates: big backlogs are covered by MORE rounds
+        in flight (up to hw.rounds_in_flight + 1), never by a bigger
+        round — a request arriving mid-burst waits behind at most one
+        bounded round instead of a 4x backlog round. That is the p99
+        lever (round-4 load test: p50 0.265s but p99 5.49s, every late
+        request riding a whole backlog round); throughput is preserved
+        because the in-flight queue keeps the device saturated exactly
+        like the old single big pre-dispatch did. Over-yield lands in the
+        spare buffer (already globally deduped) and serves future
+        demand."""
+        inflight = deque()
         while True:
             with self._wake:
                 while True:
@@ -217,51 +220,101 @@ class GenerationServer:
                         self._distribute_locked(spare)
                     if not self._running:
                         return
-                    if self._outstanding() > 0 or pending is not None:
+                    if self._outstanding() > 0 or inflight:
                         break
-                    self._fresh_burst = True
                     self._wake.wait()
                 demand = self._outstanding()
-            if pending is None:
-                pending = self._launch_guarded(self._round_sizes(
-                    max(demand, 1), first=self._fresh_burst))
-                self._fresh_burst = False
-            nxt = None
-            shortfall = demand - self._expected_yield(pending[0])
-            if shortfall > 0:
-                nxt = self._launch_guarded(self._round_sizes(shortfall))
-            rows = self._finish_round(pending)
-            pending = nxt
+                # snapshot the observed rates under the SAME lock the
+                # demand was read under, so the sizing decision is
+                # internally consistent even while _finish_round updates
+                # stats from a previous overlapped round
+                rates = self._rates_locked()
+            cur = None
+            try:
+                # top up the in-flight queue: bounded rounds until their
+                # combined expected unique yield covers the demand (with
+                # the sizing headroom inside _round_sizes), or the depth
+                # cap is hit
+                expected = sum(self._expected_yield(n, rates)
+                               for (n, _, _) in inflight)
+                while len(inflight) < self._depth and (
+                        not inflight or expected < demand):
+                    n = self._round_size_bounded()
+                    inflight.append(self._launch_guarded(n))
+                    expected += self._expected_yield(n, rates)
+                cur = inflight.popleft()
+                rows = self._finish_round(cur)
+                if self._canary_tripped:
+                    # the pre-dispatched rounds ran the suspect Pallas
+                    # program too; drop them and relaunch on the XLA arm
+                    self._canary_tripped = False
+                    inflight.clear()
+            except Exception as e:
+                # _launch_guarded retries dispatch-time OOMs itself; what
+                # reaches here is an EXECUTION-time failure (surfacing at
+                # block_until_ready in _finish_round) or an unrecoverable
+                # dispatch error. An execution OOM gets the same
+                # halve-and-retry backstop as the dispatch path; anything
+                # else fails every queued request loudly instead of
+                # leaving clients hanging on a dead worker thread.
+                n_round = (cur[0] if cur is not None
+                           else inflight[0][0] if inflight else None)
+                inflight.clear()
+                if pipeline.is_device_oom(e) and n_round is not None:
+                    shrink = n_round // 2
+                    if self.mesh is not None:
+                        shrink -= shrink % self.mesh.devices.size
+                    if shrink >= 1:
+                        LOG.warning(
+                            "execution OOM at %d candidates; capping "
+                            "rounds at %d and retrying", n_round, shrink)
+                        self._max_candidates = shrink
+                        continue
+                LOG.exception(
+                    "fatal error in round worker; failing %d queued "
+                    "requests", len(self._queue))
+                self._fail_all(e)
+                return
             with self._wake:
                 self._distribute_locked(rows)
 
-    def _expected_yield(self, n):
-        """Expected unique accepted rows from an in-flight round of n
-        candidates, from the observed acceptance and duplicate rates
-        (conservative floors before any data)."""
+    def _fail_all(self, exc):
+        """Fatal-error teardown: stop accepting work and fail every queued
+        request so clients raise instead of waiting forever (stop() does
+        the same for an orderly shutdown)."""
+        with self._wake:
+            self._running = False
+            self.stats["fatal_error"] = f"{type(exc).__name__}: {exc}"
+            while self._queue:
+                req = self._queue.popleft()
+                req.failed = True
+                req.event.set()
+            self._wake.notify_all()
+
+    def _rates_locked(self):
+        """(acceptance rate, unique-after-dedup rate) with conservative
+        floors before any data. Caller holds the lock."""
         acc = self.stats["accepted"] / max(self.stats["candidates"], 1)
-        acc = max(acc, 0.05)
         uniq = 1.0 - (self.stats["duplicates"]
                       / max(self.stats["accepted"], 1))
-        return n * acc * max(uniq, 0.1)
+        return max(acc, 0.05), max(uniq, 0.1)
 
-    def _round_sizes(self, demand, first=False):
-        """Candidate count for the next fused round: sized to outstanding
-        demand at the observed acceptance rate (2x headroom for dedup and
-        rate noise), clamped to [1, 4] compiled round shapes — powers of
-        round_size keep the jit cache tiny while letting a big burst of
-        demand pull a big round. The FIRST round after an idle period is
-        always one round_size: early arrivals get a small round's latency
-        and the backlog round overlaps behind it (_worker_loop). For the
-        transformer family the burst is further capped to the same
-        KV-cache lane budget pipeline.run enforces
-        (pipeline.transformer_dispatch_budget) so a big dispatch can't
-        compile-OOM the server."""
-        acc = self.stats["accepted"] / max(self.stats["candidates"], 1)
-        acc = max(acc, 0.05)  # before any data, assume a lean 5%
-        want = int(2 * demand / acc)
-        mult = 1 if first else max(1, min(4, -(-want // self.round_size)))
-        n = mult * self.round_size
+    def _expected_yield(self, n, rates):
+        """Expected unique accepted rows from an in-flight round of n
+        candidates, from the locked-snapshot acceptance/unique rates."""
+        acc, uniq = rates
+        return n * acc * uniq
+
+    def _round_size_bounded(self):
+        """Candidate count for the next fused round: exactly ONE
+        round_size — the p99 contract: a request never waits behind a
+        round bigger than round_size; bursts are covered by MORE bounded
+        rounds in flight (_worker_loop), and the single round shape keeps
+        the jit cache to one compiled entry. For the transformer family
+        the round is capped to the same KV-cache lane budget pipeline.run
+        enforces (pipeline.transformer_dispatch_budget) so a dispatch
+        can't compile-OOM the server."""
+        n = self.round_size
         cap = self._max_candidates
         if cap is not None and n > cap:
             n = max((cap // self.round_size) * self.round_size,
@@ -332,9 +385,19 @@ class GenerationServer:
             n_accepted = int(accept_np.sum())
             tokens_np = tokens_np[accept_np]
             scores_np = {k: s[accept_np] for k, s in scores_np.items()}
+        # runtime miscompile canary (pipeline.beam_canary_check): a
+        # within-round uniqueness collapse on the Pallas beam route flips
+        # the process to the XLA arm; this round's rows are suspect, so
+        # drop them (the worker also drops its pre-dispatched round)
+        keys = list(pipeline.canonical_keys(tokens_np))
+        if pipeline.beam_canary_check(
+                self.cfg, self.model, len(keys), len(set(keys)),
+                context=f"serve round {self._round_ix}"):
+            self._canary_tripped = True
+            return []
         # global dedup on canonicalized token rows (pipeline contract)
         keep = np.empty(tokens_np.shape[0], bool)
-        for i, rb in enumerate(pipeline.canonical_keys(tokens_np)):
+        for i, rb in enumerate(keys):
             if rb in self._seen:
                 keep[i] = False
             else:

@@ -9,10 +9,70 @@ single biggest UX/perf win for repeated runs.
 
 import logging
 import os
+import sys
 import threading
 import time
 
 log = logging.getLogger(__name__)
+
+# ---------------------------------------------------------------------------
+# Phase tracking + heartbeat.
+#
+# The tunneled TPU backend has a documented failure mode where the first
+# device->host transfer of a process wedges for minutes (measured 67-412s,
+# and in degraded phases indefinitely — tools/repro_first_d2h.py). A process
+# stuck inside a blocking JAX call prints nothing, so an outside observer
+# (or a driver with a 30-min budget) sees only a silent tail and cannot
+# tell WHERE it is stuck. BENCH_r04.json rc=124 was exactly this.
+#
+# Every CLI therefore (a) stamps what it is currently waiting on with
+# set_phase(), and (b) runs a daemon heartbeat thread that, whenever the
+# current phase has been active longer than the heartbeat interval, prints
+# `waiting: <phase> <elapsed>s` to stderr. A killed run's tail then names
+# the stuck phase. The heartbeat costs nothing while phases progress
+# normally (fast phases never print).
+# ---------------------------------------------------------------------------
+
+_PHASE_LOCK = threading.Lock()
+_PHASE = {"name": "startup", "since": time.monotonic()}
+_HEARTBEAT_THREAD = None
+
+
+def set_phase(name):
+    """Mark the process's current phase (for the heartbeat/diagnostics)."""
+    with _PHASE_LOCK:
+        _PHASE["name"] = name
+        _PHASE["since"] = time.monotonic()
+
+
+def current_phase():
+    """(phase_name, seconds_in_phase)."""
+    with _PHASE_LOCK:
+        return _PHASE["name"], time.monotonic() - _PHASE["since"]
+
+
+def start_heartbeat(interval=None):
+    """Start the daemon heartbeat (idempotent). Prints to stderr whenever
+    the current phase has been active for more than `interval` seconds
+    (default 30, or CPG_HEARTBEAT_S), so a wedged process always has a
+    diagnostic tail naming the stuck phase."""
+    global _HEARTBEAT_THREAD
+    if _HEARTBEAT_THREAD is not None:
+        return
+    if interval is None:
+        interval = float(os.environ.get("CPG_HEARTBEAT_S", "30"))
+
+    def _beat():
+        while True:
+            time.sleep(interval)
+            name, elapsed = current_phase()
+            if elapsed >= interval:
+                print(f"waiting: {name} {elapsed:.0f}s", file=sys.stderr,
+                      flush=True)
+
+    _HEARTBEAT_THREAD = threading.Thread(
+        target=_beat, name="cpg-heartbeat", daemon=True)
+    _HEARTBEAT_THREAD.start()
 
 DEFAULT_CACHE_DIR = os.environ.get(
     "CPG_COMPILATION_CACHE", os.path.expanduser("~/.cache/cpg_tpu_xla"))
@@ -32,6 +92,8 @@ def setup(cache_dir=None):
         # seconds anyway; the cache's whole value is the minutes-level
         # remote TPU compile service.
         if jax.default_backend() == "cpu":
+            if os.environ.get("CPG_SELFTEST_WEDGE_D2H"):
+                warmup_first_transfer()  # test hook: exercise the wait
             return
         if jax.config.jax_compilation_cache_dir is None:
             os.makedirs(cache_dir, exist_ok=True)
@@ -70,9 +132,15 @@ def warmup_first_transfer():
     def _pay():
         global _WARMUP_SECONDS
         try:
+            t0 = time.perf_counter()
+            if os.environ.get("CPG_SELFTEST_WEDGE_D2H"):
+                # test hook: simulate a wedged tunnel (the documented
+                # degraded phase where the first D2H never returns) so the
+                # bounded-wait/heartbeat/deadline machinery is testable
+                # without real hardware (tests/test_bench_degraded.py)
+                time.sleep(10 ** 6)
             import numpy as np
             import jax.numpy as jnp
-            t0 = time.perf_counter()
             np.asarray(jnp.zeros((1,), jnp.float32))
             _WARMUP_SECONDS = time.perf_counter() - t0
             lvl = logging.WARNING if _WARMUP_SECONDS > 10 else logging.INFO
@@ -84,7 +152,8 @@ def warmup_first_transfer():
 
     try:
         import jax
-        if jax.default_backend() == "cpu":
+        if (jax.default_backend() == "cpu"
+                and not os.environ.get("CPG_SELFTEST_WEDGE_D2H")):
             return
         _WARMUP_THREAD = threading.Thread(
             target=_pay, name="cpg-first-d2h-warmup", daemon=True)
@@ -93,13 +162,34 @@ def warmup_first_transfer():
         log.info("first-transfer warmup not started: %s", e)
 
 
-def wait_first_transfer():
-    """Block until the first-D2H warmup completes (no-op if not started).
+def wait_first_transfer(timeout=None, poll=30.0):
+    """Wait (boundedly) for the first-D2H warmup (no-op if not started).
 
     Call this immediately before a timed region so the per-process
-    transfer tax can never land inside a measurement. Returns the stall
-    duration in seconds (None if unknown/not applicable).
+    transfer tax can never land inside a measurement. The wait is chunked:
+    every `poll` seconds a `waiting: first-D2H ...` line goes to stderr so
+    a wedged tunnel produces a diagnostic tail instead of silence, and
+    `timeout` (seconds, None = unbounded) caps the total wait — on expiry
+    the warmup is abandoned (the daemon thread keeps waiting in the
+    background) and the caller proceeds, accepting that the stall may land
+    in its next device interaction. Returns the stall duration in seconds
+    (None if unknown, not applicable, or timed out).
     """
-    if _WARMUP_THREAD is not None:
-        _WARMUP_THREAD.join()
+    if _WARMUP_THREAD is None:
+        return _WARMUP_SECONDS
+    set_phase("first-D2H warmup")
+    t0 = time.monotonic()
+    while _WARMUP_THREAD.is_alive():
+        waited = time.monotonic() - t0
+        if timeout is not None and waited >= timeout:
+            print(f"waiting: first-D2H gave up after {waited:.0f}s "
+                  "(tunnel wedged? see tools/repro_first_d2h.py); "
+                  "proceeding without warmup", file=sys.stderr, flush=True)
+            return None
+        step = poll if timeout is None else min(poll, timeout - waited)
+        _WARMUP_THREAD.join(step)
+        if _WARMUP_THREAD.is_alive():
+            print(f"waiting: first-D2H {time.monotonic() - t0:.0f}s "
+                  "(known per-process tunnel stall, 67-412s band; "
+                  "tools/repro_first_d2h.py)", file=sys.stderr, flush=True)
     return _WARMUP_SECONDS

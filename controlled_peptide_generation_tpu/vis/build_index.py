@@ -154,8 +154,20 @@ def mips_topk(queries, index_z, k=10):
     return jax.lax.top_k(sims, k)
 
 
+def index_path(base_folder, n_iter):
+    """The persisted index artifact for iteration n_iter — the rebuild's
+    counterpart of the reference's ``index_{iter}.faiss``
+    (reference vis/scripts/build_index.py:174-176). Format deviation
+    (MIGRATING.md): a .npz with the fp32 z matrix + schema metadata —
+    the index IS one matmul at these shapes, so the artifact stores the
+    exact data instead of a faiss graph."""
+    return os.path.join(base_folder, f"index_{n_iter}.npz")
+
+
 class LatentIndex:
     """Exact inner-product index over dumped z states."""
+
+    _SCHEMA = 1
 
     def __init__(self, z):
         self.z = jnp.asarray(z, jnp.float32)
@@ -163,6 +175,30 @@ class LatentIndex:
     @classmethod
     def from_states(cls, path):
         return cls(read_states(path)["z"])
+
+    def save(self, path):
+        """Persist so a later process can load without the states h5
+        (the reference's faiss.write_index contract,
+        vis/scripts/build_index.py:174-176)."""
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            np.savez_compressed(
+                fh, z=np.asarray(self.z, np.float32),
+                schema=np.asarray(self._SCHEMA),
+                metric=np.asarray("inner_product"))
+        os.replace(tmp, path)
+        LOG.info("wrote latent index (%d x %d) to %s",
+                 self.z.shape[0], self.z.shape[1], path)
+        return path
+
+    @classmethod
+    def load(cls, path):
+        with np.load(path) as data:
+            if int(data["schema"]) != cls._SCHEMA:
+                raise ValueError(
+                    f"{path}: unsupported index schema "
+                    f"{int(data['schema'])} (expected {cls._SCHEMA})")
+            return cls(data["z"])
 
     def search(self, queries, k=10):
         scores, idx = mips_topk(jnp.asarray(queries, jnp.float32),

@@ -139,6 +139,12 @@ def run_long_analysis(cfg, model, params, vocab, base, with_covar=True,
                                          max_examples=10000)
     else:
         LOG.info("States have already been extracted.")
+    # persist the latent index artifact (the reference writes
+    # index_{iter}.faiss here, vis/scripts/build_index.py:174-176; this
+    # framework's exact-MIPS equivalent is an npz — MIGRATING.md)
+    idx_path = build_index.index_path(base, cfg.vae.n_iter)
+    if not os.path.exists(idx_path):
+        build_index.LatentIndex.from_states(fnames["train"]).save(idx_path)
     import matplotlib
     matplotlib.use("agg")
     from controlled_peptide_generation_tpu.vis import tsne

@@ -165,6 +165,22 @@ def test_curation_on_reference_bundled_raw_data(tmp_path):
     amp = pd.read_csv(os.path.join(out, "amp_lab.csv"))
     tox = pd.read_csv(os.path.join(out, "tox_lab.csv"))
     assert len(unlab) > 100 and len(amp) > 10 and len(tox) > 10
+
+    # the FULL 7-file contract (config.AMP_CSV_FILES / reference
+    # cfg.py:340-341) is always written: satpdb-function-derived corpora
+    # with their single-value attribute columns, and a header-only
+    # sol_lab.csv when the solubility raws are absent from the bundle
+    for name, col, values in (("anticancer.csv", "anticancer",
+                               {"anticancer"}),
+                              ("antihypertensive.csv", "antihyper",
+                               {"antihyper"}),
+                              ("cell-cell.csv", "hormone", {"cell"}),
+                              ("sol_lab.csv", "sol", set())):
+        df = pd.read_csv(os.path.join(out, name))
+        assert list(df.columns) == ["text", col], name
+        assert set(df[col]) <= values or values == set(), name
+    assert len(pd.read_csv(os.path.join(out, "anticancer.csv"))) >= 1
+    assert len(pd.read_csv(os.path.join(out, "antihypertensive.csv"))) >= 1
     assert set(amp.columns) >= {"text", "amp"}
     assert set(tox.columns) >= {"text", "tox"}
     # label values must be exactly the loader's attribute-map keys

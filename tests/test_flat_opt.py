@@ -125,3 +125,37 @@ def test_flat_train_step_trajectory(tmp_path):
     for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_flat)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-4)
+
+
+def test_checkpoint_layout_flip_raises(tmp_path):
+    """Flipping hw.flat_optimizer across a resume must raise an error
+    naming the flag — not an opaque missing-key KeyError (strict) or a
+    silent moment reset (strict=False). ADVICE round 4 (train/opt.py:21)."""
+    import optax
+    from controlled_peptide_generation_tpu.train import checkpoints
+    from controlled_peptide_generation_tpu.train.opt import flat_adam
+
+    params = {"enc": {"W": jnp.ones((3, 2))}, "b": jnp.zeros(2)}
+    chain = optax.chain(optax.clip_by_global_norm(5.0), optax.adam(1e-3))
+    flat = flat_adam(1e-3, 5.0)
+
+    path = str(tmp_path / "model_10.npz")
+    checkpoints.save(path, {"params": params, "opt": chain.init(params)})
+    tmpl_flat = {"params": params, "opt": flat.init(params)}
+    for strict in (True, False):
+        with pytest.raises(ValueError, match="hw.flat_optimizer"):
+            checkpoints.load(path, tmpl_flat, strict=strict)
+
+    # and the mirror direction: flat on disk, optax template
+    path2 = str(tmp_path / "model_20.npz")
+    checkpoints.save(path2, {"params": params, "opt": flat.init(params)})
+    tmpl_chain = {"params": params, "opt": chain.init(params)}
+    with pytest.raises(ValueError, match="hw.flat_optimizer"):
+        checkpoints.load(path2, tmpl_chain)
+
+    # matching layouts still round-trip in both layouts
+    st = checkpoints.load(path, {"params": params,
+                                 "opt": chain.init(params)})
+    assert st["params"]["enc"]["W"].shape == (3, 2)
+    st2 = checkpoints.load(path2, tmpl_flat)
+    assert st2["opt"].m.shape == st2["opt"].v.shape

@@ -73,6 +73,17 @@ def test_state_dump_and_pipeline(trained_run):
     ref_scores = np.sort(ref_sims, axis=1)[:, ::-1][:, :3]
     np.testing.assert_allclose(scores, ref_scores, rtol=1e-4, atol=1e-4)
 
+    # persisted index artifact (reference index_{iter}.faiss contract,
+    # vis/scripts/build_index.py:174-176): save/load round-trips without
+    # the states h5 and returns identical search results
+    ipath = build_index.index_path(base, cfg.vae.n_iter)
+    idx.save(ipath)
+    assert os.path.exists(ipath)
+    idx2 = build_index.LatentIndex.load(ipath)
+    scores2, top2 = idx2.search(q, k=3)
+    np.testing.assert_allclose(scores2, scores, rtol=1e-6)
+    np.testing.assert_array_equal(top2, top)
+
     # CLaSS pipeline end to end (small rounds)
     args = argparse.Namespace(
         Q_n_components=8, Q_covariance_type="diag",
@@ -309,7 +320,12 @@ def test_fused_loop_oom_halves_and_retries(trained_run, monkeypatch):
     def flaky(cfg_, model_, params_, Q_, n, key, fused=True, mesh=None):
         calls.append(n)
         if len(calls) == 1:
-            raise RuntimeError(
+            # must be jax's own runtime error type: is_device_oom
+            # deliberately rejects arbitrary exceptions that merely
+            # mention memory (and newer jax no longer aliases
+            # JaxRuntimeError to RuntimeError)
+            import jax
+            raise jax.errors.JaxRuntimeError(
                 "RESOURCE_EXHAUSTED: Out of memory allocating 99 bytes")
         return real(cfg_, model_, params_, Q_, n, key, fused=fused,
                     mesh=mesh)
@@ -337,7 +353,9 @@ def test_oom_shrink_stops_at_zero(monkeypatch):
 
     def always_oom(*a, **kw):
         calls.append(1)
-        raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory")
+        # a REAL OOM type (see flaky above): exercises the
+        # oom-but-cannot-shrink path, not just the non-OOM re-raise
+        raise jax.errors.JaxRuntimeError("RESOURCE_EXHAUSTED: Out of memory")
 
     monkeypatch.setattr(pipeline, "launch_round", always_oom)
     args = argparse.Namespace(n_samples_acc=1, n_samples_per_round=1)

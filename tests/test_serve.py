@@ -209,10 +209,11 @@ def test_http_client_errors_are_400(server):
 
 
 def test_round_sizes_respects_transformer_lane_budget():
-    """Burst demand can pull up to 4x round_size candidates, but the
-    transformer family's dispatch is capped to the same KV-cache lane
-    budget pipeline.run enforces (ADVICE round 2: the server previously
-    bypassed the clamp and could compile-OOM under burst)."""
+    """Rounds are bounded to ONE round_size (the p99 contract — bursts
+    pull MORE rounds in flight, never bigger rounds), and the transformer
+    family's dispatch is further capped to the same KV-cache lane budget
+    pipeline.run enforces (ADVICE round 2: the server previously bypassed
+    the clamp and could compile-OOM under burst)."""
     import types
     from controlled_peptide_generation_tpu import pipeline
 
@@ -224,30 +225,120 @@ def test_round_sizes_respects_transformer_lane_budget():
     srv = S.GenerationServer(cfg=cfg, model=model, params=None,
                              dataset=None, Q=None, round_size=5000)
     budget = pipeline.transformer_dispatch_budget(cfg, model, 1)
-    assert budget is not None and budget < 4 * 5000
-    n = srv._round_sizes(demand=100_000)   # burst wants 4x rounds
-    assert n <= max(budget, 1)
-    # GRU family: no clamp, burst pulls the full 4x
+    assert budget is not None and budget < 5000
+    assert srv._round_size_bounded() <= max(budget, 1)
+    # GRU family: no lane clamp — exactly one round_size, even for bursts
     gru = types.SimpleNamespace(G_class="gru")
     srv2 = S.GenerationServer(cfg=cfg, model=gru, params=None,
                               dataset=None, Q=None, round_size=5000)
-    assert srv2._round_sizes(demand=100_000) == 4 * 5000
+    assert srv2._round_size_bounded() == 5000
 
 
-def test_first_round_is_small_and_yield_estimates():
-    """The first round after an idle period is one round_size regardless
-    of burst demand (p50 path: early arrivals ride a small round while the
-    backlog round overlaps behind it), and the yield estimator applies
-    conservative floors before any stats exist."""
+def test_fatal_worker_error_fails_queued_requests(monkeypatch):
+    """A non-OOM error in the round worker (e.g. an execution-time device
+    failure) must fail every queued request loudly and stop the server —
+    not kill the worker thread silently while clients block forever
+    (ADVICE round 4, serve.py:317)."""
+    import types
+
+    cfg = types.SimpleNamespace(seed=0, hw=C.default_config().hw)
+    gru = types.SimpleNamespace(G_class="gru")
+    srv = S.GenerationServer(cfg=cfg, model=gru, params=None,
+                             dataset=None, Q=None, round_size=16)
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated execution-time device failure")
+
+    monkeypatch.setattr(S.pipeline, "launch_round", boom)
+    srv.start()
+    with pytest.raises(RuntimeError, match="server stopped"):
+        srv.generate(1, timeout=30)
+    # the server is stopped: new requests are refused, not queued forever
+    with pytest.raises(RuntimeError, match="not running"):
+        srv.generate(1, timeout=1)
+    assert "fatal_error" in srv.stats
+    assert "simulated execution-time" in srv.stats["fatal_error"]
+    srv.stop()
+
+
+def test_execution_oom_shrinks_round_and_recovers(monkeypatch):
+    """An execution-time RESOURCE_EXHAUSTED (surfacing at
+    block_until_ready in _finish_round) gets the same halve-and-retry
+    backstop as dispatch-time OOMs: the round cap shrinks and the queued
+    request is still served."""
+    import types
+    import numpy as np
+
+    cfg = types.SimpleNamespace(seed=0, hw=C.default_config().hw)
+    gru = types.SimpleNamespace(G_class="gru")
+    srv = S.GenerationServer(cfg=cfg, model=gru, params=None,
+                             dataset=None, Q=None, round_size=16)
+    calls = {"n": 0}
+
+    class FakeOOM(Exception):
+        pass
+
+    def fake_launch(cfg_, model_, params_, Q_, n, key, fused, mesh):
+        calls["n"] += 1
+        # (z, scores, accept, tokens, idx, valid); tokens row 0 decodes to
+        # a fresh unique peptide each call
+        tok = np.full((4, 6), 4 + calls["n"] % 20, np.int32)
+        tok[:, 0] = 2
+        tok[:, -1] = 3
+        accept = np.array([True, False, False, False])
+        return (None, {}, accept, tok, None, None)
+
+    finishes = {"n": 0}
+
+    def fake_finish_block(x):
+        # the worker pre-dispatches the next round before finishing the
+        # current one, so key the failure on FINISH order, not launches
+        finishes["n"] += 1
+        if finishes["n"] == 1:
+            raise FakeOOM("RESOURCE_EXHAUSTED: simulated")
+        return x
+
+    monkeypatch.setattr(S.pipeline, "launch_round", fake_launch)
+    monkeypatch.setattr(S.pipeline, "is_device_oom",
+                        lambda e: isinstance(e, FakeOOM))
+    monkeypatch.setattr(S.jax, "block_until_ready", fake_finish_block)
+    monkeypatch.setattr(
+        S.pipeline, "canonical_keys",
+        lambda toks: [bytes(r) for r in np.asarray(toks)])
+    monkeypatch.setattr(
+        S, "modlamp_from_tokens",
+        lambda toks, itos: (np.zeros(len(toks)), np.zeros(len(toks)),
+                            np.zeros(len(toks))))
+    srv.dataset = types.SimpleNamespace(
+        idx2sentences=lambda toks, print_special_tokens: [
+            "PEP" + str(int(t[1])) for t in toks],
+        vocab=types.SimpleNamespace(itos=["<unk>", "<pad>", "<s>", "</s>"]
+                                    + list("ACDEFGHIKLMNPQRSTVWY")))
+    srv.start()
+    rows = srv.generate(1, timeout=60)
+    assert len(rows) == 1
+    # round 1 OOMed at execution: the cap shrank and a retry succeeded
+    assert srv._max_candidates is not None and srv._max_candidates < 16
+    assert calls["n"] >= 2
+    srv.stop()
+
+
+def test_bounded_rounds_and_yield_estimates():
+    """Every round is one round_size (bounded p99 policy; the in-flight
+    queue depth comes from hw.rounds_in_flight), and the yield estimator
+    applies conservative floors before any stats exist."""
     import types
 
     cfg = types.SimpleNamespace(seed=0, hw=C.default_config().hw)
     gru = types.SimpleNamespace(G_class="gru")
     srv = S.GenerationServer(cfg=cfg, model=gru, params=None,
                              dataset=None, Q=None, round_size=5000)
-    assert srv._round_sizes(demand=100_000, first=True) == 5000
-    assert srv._round_sizes(demand=100_000) == 4 * 5000
+    rates = srv._rates_locked()
+    assert srv._round_size_bounded() == 5000
+    assert srv._depth == int(cfg.hw.rounds_in_flight) + 1
     # no data yet: 5% acceptance floor, uniqueness optimistic at 1.0
-    assert srv._expected_yield(1000) == pytest.approx(1000 * 0.05)
+    assert srv._expected_yield(1000, rates) == pytest.approx(1000 * 0.05)
     srv.stats.update(candidates=1000, accepted=400, duplicates=40)
-    assert srv._expected_yield(1000) == pytest.approx(1000 * 0.4 * 0.9)
+    rates = srv._rates_locked()
+    assert srv._expected_yield(1000, rates) == pytest.approx(
+        1000 * 0.4 * 0.9)

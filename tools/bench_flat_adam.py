@@ -20,8 +20,13 @@ import argparse
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
-    __file__))))
+# repo root (package + bench.py) AND tools/ (bench_pallas_train import):
+# the latter is only implicitly on sys.path when invoked as
+# `python tools/bench_flat_adam.py`; inserting it explicitly keeps
+# `python -m` and out-of-tree invocations working too
+_TOOLS = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_TOOLS))
+sys.path.insert(0, _TOOLS)
 
 import jax
 import jax.numpy as jnp
