@@ -994,21 +994,32 @@ def bench_mfu(cfg, model, params, fast=False):
              flops_transformer_train(tcfg, tmodel, B), dev_s, peak_f,
              per=B / dev_s, per_unit="seqs_per_s")
 
-    runtime.set_phase("mfu: transformer beam")
+    from controlled_peptide_generation_tpu.ops import pallas_tfm_beam
     tdec = nn.cast_tree(tparams, jnp.bfloat16)
+    t_appl = pallas_tfm_beam.applicable(tmodel, 5, jnp.bfloat16)
+    for path in (("pallas", "xla") if t_appl else ("xla",)):
+        runtime.set_phase(f"mfu: transformer beam {path}")
+        beam_mod.set_pallas_beam(path == "pallas")
+        jax.clear_caches()
 
-    def tbody(k):
-        z = tmodel.sample_z_prior(k, 1024).astype(jnp.bfloat16)
-        c = tmodel.sample_c_prior(jax.random.fold_in(k, 1),
-                                  1024).astype(jnp.bfloat16)
-        return beam_search(tmodel, tdec, z, c, beam_size=5, n_best=1)[0]
+        def tbody(k):
+            z = tmodel.sample_z_prior(k, 1024).astype(jnp.bfloat16)
+            c = tmodel.sample_c_prior(jax.random.fold_in(k, 1),
+                                      1024).astype(jnp.bfloat16)
+            return beam_search(tmodel, tdec, z, c, beam_size=5,
+                               n_best=1)[0]
 
-    dev_s = calibrated_device_time(tbody, target_s=0.3 if fast else 1.0,
-                                   reps=2)
-    _mfu_row(rows, "transformer_beam_1024_bf16",
-             flops_beam(tcfg, tmodel, 1024), dev_s, peak_f,
-             per=1024 / dev_s, per_unit="seqs_per_s",
-             note="xla path (pallas_beam.applicable gates on GRU)")
+        dev_s = calibrated_device_time(tbody,
+                                       target_s=0.3 if fast else 1.0,
+                                       reps=2)
+        _mfu_row(rows, f"transformer_beam_1024_bf16_{path}",
+                 flops_beam(tcfg, tmodel, 1024), dev_s, peak_f,
+                 per=1024 / dev_s, per_unit="seqs_per_s",
+                 note=("default route" if path == "xla"
+                       else "comparison arm (opt-in kernel, "
+                            "--hw.pallas_beam on)"))
+    beam_mod.set_pallas_beam(None)
+    jax.clear_caches()
 
     return {"chip": kind, "peak_bf16_tflops": (peak_f or 0) / 1e12,
             "peak_hbm_gb_s": (peak_bw or 0) / 1e9, "null_rtt_ms":

@@ -102,13 +102,23 @@ def _enc_compute_dtype(params, bf16):
 
 def _attention(q, k, v, mask):
     """q: [B, Sq, H, Dh], k/v: [B, Sk, H, Dh], mask: broadcastable to
-    [B, H, Sq, Sk] (True = attend)."""
+    [B, H, Sq, Sk] (True = attend).
+
+    Score logits stay in f32 all the way to the softmax (the MXU
+    accumulates bf16 contractions in f32 anyway — rounding them to bf16
+    before ranking-relevant softmax math would only lose information),
+    and the value contraction accumulates f32 and rounds ONCE at the
+    end. The fused Pallas beam kernel (ops/pallas_tfm_beam.py) mirrors
+    these exact rounding points so the two decode arms agree token-for-
+    token in bf16 too."""
     dh = q.shape[-1]
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
-        jnp.asarray(dh, jnp.float32)).astype(q.dtype)
-    logits = jnp.where(mask, logits.astype(jnp.float32), -1e30)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+    logits = jnp.where(mask, logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
 
 
 def _block_full(p, x, mask, n_heads, key=None, p_dropout=0.0, train=False):
@@ -120,7 +130,11 @@ def _block_full(p, x, mask, n_heads, key=None, p_dropout=0.0, train=False):
     a = a.reshape(x.shape)
     x = x + nn.linear(p["attn_out"], a)
     h = _ln(p["ln2"], x)
-    h = nn.linear(p["ff2"], jax.nn.gelu(nn.linear(p["ff1"], h)))
+    # gelu in f32 regardless of compute dtype (rounded back once): the
+    # VPU computes bf16 transcendentals through f32 internally anyway,
+    # and the fused beam kernel mirrors this exact rounding point
+    h = nn.linear(p["ff2"], jax.nn.gelu(
+        nn.linear(p["ff1"], h).astype(jnp.float32)).astype(x.dtype))
     if train and p_dropout > 0.0 and key is not None:
         h = nn.dropout(key, h, p_dropout, train)
     return x + h
@@ -158,7 +172,9 @@ def _block_step(p, x, cache_k, cache_v, pos, n_heads):
     a = _attention(q4, k4, v4, mask).reshape(B, D)
     x = x + nn.linear(p["attn_out"], a)
     h = _ln(p["ln2"], x)
-    h = nn.linear(p["ff2"], jax.nn.gelu(nn.linear(p["ff1"], h)))
+    # f32 gelu, rounding mirrored by the fused beam kernel (_block_full)
+    h = nn.linear(p["ff2"], jax.nn.gelu(
+        nn.linear(p["ff1"], h).astype(jnp.float32)).astype(x.dtype))
     return x + h, cache_k, cache_v
 
 
@@ -291,6 +307,122 @@ def init_cache(params, z, c, max_seq_len, n_heads=4, bf16=False):
         ks.append(k_l)
         vs.append(v_l)
     return {"k": ks, "v": vs, "pos": jnp.ones((B,), jnp.int32)}
+
+
+def anc_init(params, z, c, K, max_seq_len, n_heads=4, bf16=False):
+    """Unreordered per-lane KV caches + ancestry map for the no-reorder
+    beam (ops/beam._beam_search_tfm_anc).
+
+    Profiling the generic beam scan on TPU showed ~50% of device time in
+    the per-step KV-cache beam reorder (copies + K-way gathers/selects
+    over [B*K, S, D] leaves) while matmuls were 0.1%. This layout never
+    reorders the cache: every lane writes its own rows, and a [B, K, S]
+    ANCESTRY map records which lane's row position s of beam k's history
+    lives in; attention selects ancestor rows densely with a one-hot
+    einsum (apply_step_anc). Beam advance then permutes only the tiny
+    ancestry map, not the cache.
+
+    Returns (caches, anc): caches = {"k": [L x [B, K, S, D]], "v": ...}
+    with the latent prefix at position 0 of every lane, anc [B, K, S]
+    int32 initialized to the own-lane index (position 0 is identical
+    across lanes, so self-ancestry is exact)."""
+    base = init_cache(params, z, c, max_seq_len, n_heads=n_heads,
+                      bf16=bf16)
+    B = z.shape[0]
+    S = base["k"][0].shape[1]
+    D = base["k"][0].shape[2]
+    Dh = D // n_heads
+
+    def rep(a):
+        # [B, S, D] -> head-major [B, H, K, S, Dh]: the layout every
+        # attention einsum consumes directly (batch dims (b, h) leading,
+        # contraction dims (lane, position) then Dh minor) so XLA emits
+        # NO per-step cache transposes — the [B,K,S,D] layout profiled
+        # at ~2 ms/step of relayout copies at the reference shape
+        a5 = a.reshape(B, S, n_heads, Dh)
+        a5 = jnp.moveaxis(a5, 2, 1)                     # [B, H, S, Dh]
+        return jnp.broadcast_to(a5[:, :, None],
+                                (B, n_heads, K, S, Dh))
+    caches = {"k": [rep(kl) for kl in base["k"]],
+              "v": [rep(vl) for vl in base["v"]]}
+    anc = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :, None],
+                           (B, K, S))
+    return caches, anc
+
+
+def apply_step_anc(params, emb_params, tokens, caches, anc, p,
+                   n_heads=4, bf16=False):
+    """One beam-search step over UNREORDERED per-lane caches.
+
+    tokens [B, K] int32; caches from anc_init; anc [B, K, S] int32 with
+    position p already set to the own lane (the caller stamps it before
+    this call); p: traced scalar write position (uniform across lanes —
+    the same invariant _block_step exploits). Returns (logits [B, K, V]
+    f32, new caches). Math identical to apply_step + the generic reorder
+    up to einsum reassociation: ancestor selection is an exact 0/1
+    one-hot contraction, all rounding points mirror _attention."""
+    B, K = tokens.shape
+    cache_pos = p  # uniform write position
+    emb = nn.embed(emb_params, tokens)                   # [B, K, E]
+    dt = _compute_dtype(params, bf16)
+    blocks = nn.cast_tree(params["blocks"], dt)
+    x = (nn.linear(params["in"], emb)
+         + params["pos"][cache_pos]).astype(dt)
+    S = caches["k"][0].shape[3]
+    D = params["pos"].shape[1]
+    H = n_heads
+    Dh = D // H
+    f32 = jnp.float32
+
+    # joint (lane, position) selection mask [B, 1, K, K_lane, S]: beam
+    # k's history row at position s is EXACTLY lane anc[k, s]'s — a
+    # softmax over the joint (lane, position) domain with everything
+    # else at -inf IS the softmax over the beam's own S positions (the
+    # extra terms contribute exact zeros), so selection costs one mask,
+    # not a gather or an extra contraction
+    sel = anc[..., None] == jnp.arange(K)                # [B, K, S, Kl]
+    sel = jnp.swapaxes(sel, 2, 3)                        # [B, K, Kl, S]
+    valid = (jnp.arange(S) <= cache_pos)[None, None, None, :]
+    mask = (sel & valid)[:, None]                        # [B,1,K,Kl,S]
+
+    ks, vs = list(caches["k"]), list(caches["v"])
+    for li, blk in enumerate(blocks):
+        h = _ln(blk["ln1"], x)
+        qkv = nn.linear(blk["qkv"], h)
+        q, k, v = _unpack_qkv(qkv, H)                    # [B, K, H, Dh]
+        qh = jnp.moveaxis(q, 2, 1)                       # [B, H, K, Dh]
+        kh = jnp.moveaxis(k, 2, 1)[:, :, :, None]        # [B,H,K,1,Dh]
+        vh = jnp.moveaxis(v, 2, 1)[:, :, :, None]
+        # cache write: dynamic_update_slice at the uniform position.
+        # (A streaming masked-add formulation was measured SLOWER —
+        # 9.6k vs 12.2k seqs/s at chunk 4096 — the full-buffer
+        # elementwise pass costs more than the strided DUS copy.)
+        ks[li] = jax.lax.dynamic_update_slice(
+            ks[li], kh.astype(ks[li].dtype), (0, 0, 0, cache_pos, 0))
+        vs[li] = jax.lax.dynamic_update_slice(
+            vs[li], vh.astype(vs[li].dtype), (0, 0, 0, cache_pos, 0))
+        # [B,H,K,Dh] x [B,H,Kl,S,Dh] -> [B,H,K,Kl,S]: batch (b,h),
+        # contraction Dh minor on both sides — no relayouts
+        sc = jnp.einsum("bhkd,bhjsd->bhkjs", qh, ks[li],
+                        preferred_element_type=f32)
+        sc = sc / jnp.sqrt(jnp.asarray(Dh, f32))
+        sc = jnp.where(mask, sc, -1e30)
+        probs = jax.nn.softmax(
+            sc.reshape(B, H, K, K * S), axis=-1).reshape(
+                B, H, K, K, S).astype(dt)
+        # [B,H,K,Kl,S] x [B,H,Kl,S,Dh] -> [B,H,K,Dh]: joint (Kl,S)
+        # contraction, both operands already (Kl,S)-then-minor
+        att = jnp.einsum("bhkjs,bhjsd->bhkd", probs, vs[li],
+                         preferred_element_type=f32).astype(dt)
+        a = jnp.moveaxis(att, 1, 2).reshape(B, K, D)
+        x = x + nn.linear(blk["attn_out"], a)
+        h = _ln(blk["ln2"], x)
+        h = nn.linear(blk["ff2"], jax.nn.gelu(
+            nn.linear(blk["ff1"], h).astype(f32)).astype(dt))
+        x = x + h
+    xf = _ln(params["ln_f"], x).astype(f32)
+    logits = nn.linear(params["out"], xf)                 # [B, K, V]
+    return logits, {"k": ks, "v": vs}
 
 
 def apply_step(params, emb_params, token_hard, token_soft, z, c, cache,

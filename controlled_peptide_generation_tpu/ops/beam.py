@@ -34,6 +34,7 @@ import numpy as np
 from ..data.vocab import PAD_IDX, START_IDX, EOS_IDX
 from . import nn
 from . import pallas_beam
+from . import pallas_tfm_beam
 
 NEG = -1e20
 
@@ -208,6 +209,20 @@ def beam_search(model, params, z, c, beam_size=5, n_best=3, min_length=1,
     if pallas_beam_enabled() and pallas_beam.applicable(model, K, z.dtype):
         return _beam_search_pallas(model, params, z, c, K, n_best,
                                    min_length, T)
+    # transformer-family alternates: the whole-scan Pallas kernel routes
+    # only when the kernel route is FORCED (--hw.pallas_beam on), never
+    # on auto — measured at parity with the generic scan (13.2k vs
+    # 13.1k seqs/s at chunk 4096 bf16) because the workload is small-op
+    # latency-bound, not reorder-bound (BENCH.md "transformer beam
+    # arms"); the ancestry arm is its own opt-in (set_tfm_anc)
+    if (_PALLAS_BEAM is True
+            and pallas_tfm_beam.applicable(model, K, z.dtype)):
+        return _beam_search_pallas_tfm(model, params, z, c, K, n_best,
+                                       min_length, T)
+    if tfm_anc_enabled() and getattr(model, "G_class",
+                                     None) == "transformer":
+        return _beam_search_tfm_anc(model, params, z, c, K, n_best,
+                                    min_length, T)
 
     z_flat = jnp.repeat(z, K, axis=0)          # [B*K] batch-major lanes
     c_flat = jnp.repeat(c, K, axis=0)
@@ -340,6 +355,182 @@ def _beam_search_pallas(model, params, z, c, K, n_best, min_length, T):
 
     prev0 = jnp.full((B, K), PAD_IDX, jnp.int32).at[:, 0].set(START_IDX)
     ys = jnp.concatenate([prev0[:, None], ys_steps], axis=1)  # [B, T+1, K]
+    ptrs = ptr_steps
+    fin_mask = mask_steps.reshape(B, T * K)
+    fin_score = sc_steps.reshape(B, T * K)
+    finalize = jax.vmap(partial(_finalize_one, K=K, n_best=n_best, T=T,
+                                fast=nn.fast_gathers_enabled()))
+    return finalize(ys, ptrs, scores_f, adv_f, fin_f, fin_mask, fin_score)
+
+
+# The no-reorder ("ancestry") transformer beam: True/False force, None =
+# auto. Auto resolves to OFF: measured on the v5e (tools/bench_tfm_arms
+# .py, BENCH.md "transformer beam arms") the ancestry formulation is
+# +5% at chunk 1024 but -8% at 4096 vs the generic reorder scan — all
+# three arms (generic, ancestry, whole-scan Pallas kernel) land within
+# ~±10% because the workload is dominated by per-step small-op/copy
+# overheads at these dims (d_model 128, Dh 32, K 5, S 26; MXU busy
+# 0.1%), not by the cache reorder the redesigns target.
+_TFM_ANC = None
+
+
+def set_tfm_anc(value):
+    global _TFM_ANC
+    _TFM_ANC = value
+
+
+def tfm_anc_enabled():
+    if _TFM_ANC is not None:
+        return _TFM_ANC
+    return False
+
+
+def _beam_search_tfm_anc(model, params, z, c, K, n_best, min_length, T):
+    """Transformer beam WITHOUT per-step cache reorder.
+
+    The generic scan reorders every KV-cache leaf by beam backpointer
+    each step; profiled on TPU (tools/profile_tfm_beam.py) those copies
+    + K-way selects were ~50% of device time with matmuls at 0.1%. Here
+    every lane writes its own cache rows unreordered and a [B, K, S]
+    ancestry map tracks whose row each beam's history occupies;
+    attention selects ancestor rows densely with an exact one-hot
+    einsum (models/transformer.apply_step_anc) and the beam advance
+    permutes only the ancestry map. Identical semantics — candidate
+    masking, emissions, finalize — to the generic scan (same
+    _advance_one/_finalize_one), with attention math at the same
+    rounding points."""
+    from ..models import transformer as tfm
+
+    B = z.shape[0]
+    V = model.n_vocab
+    t_args = model.dec_tfm_args
+    H = t_args.get("n_heads", 4)
+    bf16 = t_args.get("bf16", False)
+
+    caches, anc0 = tfm.anc_init(params["dec"], z, c, K,
+                                model.max_seq_len, n_heads=H, bf16=bf16)
+
+    prev0 = jnp.full((B, K), PAD_IDX, jnp.int32).at[:, 0].set(START_IDX)
+    state0 = BeamState(
+        scores=jnp.zeros((B, K)),
+        prev=prev0,
+        h=jnp.zeros((B, K, 1)),   # unused; caches/anc ride alongside
+        adv=jnp.zeros((B,), jnp.int32),
+        eos_top=jnp.zeros((B,), bool),
+        fin_cnt=jnp.zeros((B,), jnp.int32),
+    )
+    fast = nn.fast_gathers_enabled()
+    advance = jax.vmap(partial(_advance_one, K=K, V=V,
+                               min_length=min_length,
+                               fast=fast and K <= V - 2))
+    own = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None],
+                           (B, K))
+
+    def step(carry, t):
+        state, caches, anc = carry
+        p = t + 1
+        # stamp position p as own-lane BEFORE attention: each lane's row
+        # at p is the one it just wrote
+        anc = jax.lax.dynamic_update_slice(anc, own[:, :, None],
+                                           (0, 0, p))
+        logits, caches = tfm.apply_step_anc(
+            params["dec"], params["emb"], state.prev, caches, anc, p,
+            n_heads=H, bf16=bf16)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        done = state.eos_top & (state.fin_cnt >= n_best)
+
+        best, next_y, prev_k, adv, mask, eos_top_new = advance(
+            logp, state.scores, state.prev, state.adv)
+
+        # the ONLY beam permutation: the tiny ancestry map (done lanes
+        # advance too — outputs are gated, and the uniform write
+        # position must stay uniform, exactly like the generic scan)
+        anc = nn.take_small_axis1(anc, prev_k) if fast else \
+            jnp.take_along_axis(anc, prev_k[:, :, None], axis=1)
+
+        d1 = done[:, None]
+        mask = mask & ~d1
+        new_state = BeamState(
+            scores=jnp.where(d1, state.scores, best),
+            prev=jnp.where(d1, state.prev, next_y),
+            h=state.h,
+            adv=jnp.where(done, state.adv, adv),
+            eos_top=state.eos_top | (eos_top_new & ~done),
+            fin_cnt=state.fin_cnt + mask.sum(axis=1),
+        )
+        ys_emit = jnp.where(d1, jnp.full_like(next_y, PAD_IDX), next_y)
+        ptr_emit = jnp.where(d1, jnp.zeros_like(prev_k), prev_k)
+        return (new_state, caches, anc), (ys_emit, ptr_emit, best, mask)
+
+    (state, _, _), (ys_steps, ptr_steps, sc_steps, mask_steps) = (
+        jax.lax.scan(step, (state0, caches, anc0), jnp.arange(T)))
+
+    ys = jnp.concatenate([prev0[None], ys_steps], axis=0)
+    ys = jnp.swapaxes(ys, 0, 1)
+    ptrs = jnp.swapaxes(ptr_steps, 0, 1)
+    fin_mask = jnp.swapaxes(mask_steps, 0, 1).reshape(B, T * K)
+    fin_score = jnp.swapaxes(sc_steps, 0, 1).reshape(B, T * K)
+    finalize = jax.vmap(partial(_finalize_one, K=K, n_best=n_best, T=T,
+                                fast=fast))
+    return finalize(ys, ptrs, state.scores, state.adv, state.fin_cnt,
+                    fin_mask, fin_score)
+
+
+def _beam_search_pallas_tfm(model, params, z, c, K, n_best, min_length,
+                            T):
+    """Transformer-family beam via the whole-scan fused Pallas kernel
+    (ops/pallas_tfm_beam.py).
+
+    The latent prefix is computed by the SAME models/transformer
+    .init_cache the XLA arm uses (only its position-0 cache rows are
+    consumed), the embed->in-proj fold mirrors nn.embed's PAD-zeroing
+    and one-hot exactness, qkv columns are pre-permuted to the kernel's
+    [q|k|v] head-major layout, and the shared _finalize_one does the
+    heap reconstruction + backtrace — the two paths cannot diverge after
+    the emission tape."""
+    B = z.shape[0]
+    V = model.n_vocab
+    t_args = model.dec_tfm_args
+    H = t_args.get("n_heads", 4)
+    D = t_args.get("d_model", 128)
+    F = t_args.get("d_ff", 4 * D)
+    dec = params["dec"]
+    dt = dec["out"]["w"].dtype
+    S = model.max_seq_len + 1
+
+    emb_w = params["emb"]["w"].at[PAD_IDX].set(0.0)
+    tok_table = (emb_w @ dec["in"]["w"] + dec["in"]["b"]).astype(dt)
+    tok_table = jnp.where(tok_table == 0.0, 0.0, tok_table)
+    pos_table = dec["pos"][:S].astype(dt)
+
+    perm = pallas_tfm_beam._perm_qkv_cols(H, D)
+    layers = []
+    for blk in dec["blocks"]:
+        layers.append({
+            "ln1": blk["ln1"], "ln2": blk["ln2"],
+            "qkv": {"w": blk["qkv"]["w"][:, perm],
+                    "b": blk["qkv"]["b"][perm]},
+            "attn_out": blk["attn_out"], "ff1": blk["ff1"],
+            "ff2": blk["ff2"],
+        })
+
+    # latent prefix: position-0 cache rows from the XLA arm's own
+    # init_cache (one step, shared math)
+    cache0 = model.init_decoder_hidden(params, z, c)
+    k0s = [kl[:, 0, :] for kl in cache0["k"]]
+    v0s = [vl[:, 0, :] for vl in cache0["v"]]
+
+    ys_steps, ptr_steps, sc_steps, scores_f, adv_f, fin_f = (
+        pallas_tfm_beam.beam_scan_tfm(
+            tok_table, pos_table, layers, dec["ln_f"]["g"],
+            dec["ln_f"]["b"], dec["out"]["w"], dec["out"]["b"], k0s, v0s,
+            T=T, K=K, V=V, S=S, H=H, F=F, min_length=min_length,
+            n_best=n_best, block_b=pallas_tfm_beam.default_block_b(dt),
+            interpret=jax.default_backend() != "tpu"))
+    mask_steps = ys_steps == EOS_IDX
+
+    prev0 = jnp.full((B, K), PAD_IDX, jnp.int32).at[:, 0].set(START_IDX)
+    ys = jnp.concatenate([prev0[:, None], ys_steps], axis=1)
     ptrs = ptr_steps
     fin_mask = mask_steps.reshape(B, T * K)
     fin_score = sc_steps.reshape(B, T * K)

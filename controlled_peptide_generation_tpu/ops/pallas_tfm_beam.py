@@ -1,0 +1,491 @@
+"""Whole-scan fused TRANSFORMER beam search as ONE Pallas TPU kernel.
+
+The XLA transformer beam (ops/beam.py scan over models/transformer
+apply_step) is HBM-bound on its KV cache: every step re-gathers all four
+cache leaves ([B*K, S, D] each) for the beam reorder AND reads them again
+inside attention — ~400 MB of HBM traffic per step at the reference shape
+(1024 sentences x beam 5, d_model 128, T=25), measured 1.19% MFU / 22.5k
+seqs/s (BENCH_DETAILS mfu row transformer_beam_1024_bf16, round-4
+verdict item 4). This kernel runs the ENTIRE T-step beam recurrence for
+a tile of sentences inside one pallas_call with the caches RESIDENT IN
+VMEM: the beam reorder becomes a K-way select chain over VMEM arrays,
+attention reads never touch HBM, and the only HBM traffic is the weights
+once per tile plus the 2D emission tapes once.
+
+Structure is ops/pallas_beam.py's (see its docstring for the layout
+rules this kernel inherits):
+
+* rows (sublanes) = sentences, K beams unrolled as K-tuples of [Bt, .]
+  arrays; features on lanes;
+* d_model is REQUIRED to be exactly 128 (the TPU lane width, and the
+  shipped transformer config) — every residual-stream array is [Bt, 128]
+  with no padding lanes, and LayerNorm reduces over the full lane width;
+* per-beam per-layer KV caches are [Bt, S*128] arrays (position s in
+  lanes [s*128, (s+1)*128)), written with a lane-block masked select and
+  read with static lane slices inside an unrolled position loop;
+* biases ride an outer-product matmul (col1 [Bt,128] with a single 1.0
+  lane x a [128, N] matrix holding the bias in row 0) — no [1, N]
+  sublane broadcasts (unimplemented Mosaic relayout, see pallas_beam);
+* LayerNorm scale is a diagonal-matrix matmul for the same reason;
+* qkv weight COLUMNS are pre-permuted (host-side) from the interleaved
+  [H, 3, Dh] layout of models/transformer._init_block to contiguous
+  head-major [q | k | v], so q/k/v are static lane slices and head h of
+  each occupies lanes [h*Dh, (h+1)*Dh) — the same head-major flattening
+  the cache rows use;
+* attention is VPU work: per (beam, layer, position) an elementwise
+  q*k product and per-head lane-segment reductions produce [Bt, 1]
+  score columns; softmax is a max/exp/sum tree over the position list
+  in f32; the weighted value sum re-broadcasts each head's probability
+  over its lanes with masked selects. The position loop is unrolled to
+  S with step-validity masks (write position is uniform = t+1, exactly
+  models/transformer._block_step's invariant);
+* beam bookkeeping (candidate masking, iterated top-K, emission tapes,
+  done gating) is copied VERBATIM from pallas_beam._kernel — identical
+  semantics, identical 2D-only tape outputs (the round-4 tape-scramble
+  guard), and ops/beam._finalize_one stays the shared backtrace.
+
+The latent prefix (cache position 0) is computed OUTSIDE the kernel by
+models/transformer.init_cache — one XLA step per sentence, guaranteeing
+the prefix math cannot diverge from the XLA arm — and enters as per-layer
+k0/v0 [B, 128] inputs.
+
+Scope (enforced by `applicable`): transformer decoder family with
+d_model == 128, d_ff a multiple of 128, n_heads dividing 128,
+V <= 127, max_seq_len + 1 <= 32, beam_size <= V - 2, T*K <= 256.
+Reference contract: models/Beam.py semantics via ops/beam.py; decoder
+math models/transformer.apply_step.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from ..data.vocab import PAD_IDX, START_IDX, EOS_IDX
+from .pallas_beam import NEG, NINF, _LANE, _pad_to
+
+# Sentences per grid step. The VMEM budget is dominated by the caches:
+# K * L * 2 * Bt * S * 128 * itemsize bytes (bf16, K=5, L=2, S=26:
+# ~133 KB per sentence), DOUBLED during the beam reorder (the pre- and
+# post-reorder cache sets are simultaneously live in the select chain —
+# measured: fp32 at Bt=32 hits Mosaic's 16 MB scoped-vmem limit at
+# 17.78 MB). Bt=32 bf16 / Bt=16 fp32 keep the working set under ~10 MB;
+# default_block_b picks per dtype, set_block_b overrides for sweeps.
+BLOCK_B = None
+
+
+def default_block_b(dtype):
+    if BLOCK_B is not None:
+        return BLOCK_B
+    return 16 if jnp.dtype(dtype) == jnp.dtype(jnp.float32) else 32
+
+
+def set_block_b(value):
+    """Set the batch tile (multiple of 8). Read at trace time — callers
+    flipping it must jax.clear_caches()."""
+    global BLOCK_B
+    BLOCK_B = int(value)
+
+
+def applicable(model, beam_size, dtype) -> bool:
+    """True when beam_search can route through this kernel."""
+    if getattr(model, "G_class", None) != "transformer":
+        return False
+    t = model.dec_tfm_args
+    D = t.get("d_model", 128)
+    F = t.get("d_ff", 4 * D)
+    H = t.get("n_heads", 4)
+    if D != _LANE or F % _LANE or H <= 0 or _LANE % H:
+        return False
+    if model.max_seq_len + 1 > 32:
+        return False
+    if model.max_seq_len * beam_size > 2 * _LANE:
+        return False
+    return (model.n_vocab <= _LANE - 1
+            and 1 < beam_size <= model.n_vocab - 2
+            and jnp.dtype(dtype) in (jnp.dtype(jnp.float32),
+                                     jnp.dtype(jnp.bfloat16)))
+
+
+def _lane_tile(x, n):
+    """[Bt, D] -> [Bt, n*D] by repetition along lanes (doubling concats,
+    then a static slice; concatenation of 128-lane-aligned tiles is a
+    supported Mosaic op, and interpret mode runs it as plain jnp)."""
+    D = x.shape[1]
+    out = x
+    while out.shape[1] < n * D:
+        out = jnp.concatenate([out, out], axis=1)
+    return out[:, :n * D]
+
+
+def _kernel(tok_t_ref, pos_t_ref, dlnf_ref, blnf_ref, wout_ref, bout_ref,
+            *refs, T, K, V, S, L, H, F, Bt, TKp, min_length, n_best, dt):
+    f32 = jnp.float32
+    D = _LANE
+    Dh = D // H
+
+    # per-layer refs: (wcat, wff2, bcat, dln1, dln2, blncat, k0, v0) x L
+    layer_refs = [refs[8 * l:8 * (l + 1)] for l in range(L)]
+    outs = refs[8 * L:]
+    (ys_ref, ptr_ref, sc_ref, scoref_ref, adv_ref, fin_ref) = outs
+
+    tok_t = tok_t_ref[:]                   # [Vp, D] dt (pos-less token x)
+    pos_t = pos_t_ref[:]                   # [Sp, D] dt (learned positions)
+    dlnf = dlnf_ref[:]                     # [D, D] f32 diag(ln_f.g)
+    blnf = blnf_ref[:]                     # [D, D] f32 row0 = ln_f.b
+    wout = wout_ref[:]                     # [D, Vp] f32
+    bout = bout_ref[:]                     # [D, Vp] f32 row0 = out.b
+
+    W = [r[0][:] for r in layer_refs]      # [D, 3D+D+F] dt
+    Wff2 = [r[1][:] for r in layer_refs]   # [F, D] dt
+    Bc = [r[2][:] for r in layer_refs]     # [D, 3D+D+F+D] dt row0=biases
+    Dln1 = [r[3][:] for r in layer_refs]   # [D, D] f32
+    Dln2 = [r[4][:] for r in layer_refs]   # [D, D] f32
+    Bln = [r[5][:] for r in layer_refs]    # [D, 2D] f32 row0=(ln1b|ln2b)
+    k0 = [r[6][:] for r in layer_refs]     # [Bt, D] dt (latent-prefix k)
+    v0 = [r[7][:] for r in layer_refs]     # [Bt, D] dt
+
+    Vp = tok_t.shape[0]
+    Sp = pos_t.shape[0]
+
+    v_lane = jax.lax.broadcasted_iota(jnp.int32, (Bt, Vp), 1)
+    d_lane = jax.lax.broadcasted_iota(jnp.int32, (Bt, D), 1)
+    s_lane = jax.lax.broadcasted_iota(jnp.int32, (Bt, Sp), 1)
+    sd_blk = jax.lax.broadcasted_iota(jnp.int32, (Bt, S * D), 1) // D
+    tk_lane = jax.lax.broadcasted_iota(jnp.int32, (Bt, TKp), 1)
+    col1 = (d_lane == 0).astype(dt)        # [Bt, D]: 1.0 in lane 0
+    one = jnp.asarray(1.0, dt)
+
+    def mm(a, b):
+        out = jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32)
+        return out
+
+    def ln(x, dmat, bmat, lane0):
+        """LayerNorm over the full 128 lanes, f32 math, scale via the
+        diagonal matmul + bias via the outer-product row (both f32), cast
+        back to dt — mirrors models/transformer._ln's f32-then-cast."""
+        x32 = x.astype(f32)
+        mu = jnp.sum(x32, axis=1, keepdims=True) / D
+        xc = x32 - mu
+        var = jnp.sum(xc * xc, axis=1, keepdims=True) / D
+        y = xc * jax.lax.rsqrt(var + 1e-6)
+        out = mm(y, dmat) + mm(lane0.astype(f32), bmat)
+        return out.astype(dt)
+
+    def gelu(x):
+        return jax.nn.gelu(x.astype(f32)).astype(dt)
+
+    def block_step(l, x, ck, cv, t, zi):
+        """One token through layer l with its VMEM cache.
+
+        x: [Bt, D] dt; ck/cv: [Bt, S*D] dt; writes at position t+1 and
+        attends to 0..t+1 — models/transformer._block_step with the
+        uniform-pos invariant made static."""
+        h = ln(x, Dln1[l], Bln[l][:, :D], col1)
+        qkv = mm(h, W[l][:, :3 * D]).astype(dt) \
+            + mm(col1, Bc[l][:, :3 * D]).astype(dt)       # [Bt, 3D]
+        q = qkv[:, :D]
+        k_new = qkv[:, D:2 * D]
+        v_new = qkv[:, 2 * D:3 * D]
+
+        wcol = (sd_blk == t + 1)
+        ck = jnp.where(wcol, _lane_tile(k_new, S), ck)
+        cv = jnp.where(wcol, _lane_tile(v_new, S), cv)
+
+        # attention: per-position score columns, per-head softmax in f32.
+        # Rounding points mirror models/transformer._attention exactly:
+        # f32 score accumulation / f32 division by sqrt(Dh), probs
+        # rounded to dt before the value contraction, value sum
+        # accumulated f32 and rounded ONCE at the end.
+        q32 = q.astype(f32)
+        sqrt_dh = float(Dh ** 0.5)
+        tcol = zi * 0 + t                                  # [Bt, 1] i32
+        sc_cols = []                                       # S x H x [Bt,1]
+        for s in range(S):
+            prod = q32 * ck[:, s * D:(s + 1) * D].astype(f32)
+            valid = (tcol + 1) >= s                        # [Bt, 1] bool
+            cols = []
+            for hh in range(H):
+                c = jnp.sum(prod[:, hh * Dh:(hh + 1) * Dh], axis=1,
+                            keepdims=True) / sqrt_dh
+                cols.append(jnp.where(valid, c, NINF))
+            sc_cols.append(cols)
+        att32 = q32 * 0.0                                  # [Bt, D] f32
+        for hh in range(H):
+            m = sc_cols[0][hh]
+            for s in range(1, S):
+                m = jnp.maximum(m, sc_cols[s][hh])
+            exps = [jnp.exp(sc_cols[s][hh] - m) for s in range(S)]
+            z = exps[0]
+            for s in range(1, S):
+                z = z + exps[s]
+            head_mask = (d_lane >= hh * Dh) & (d_lane < (hh + 1) * Dh)
+            for s in range(S):
+                p = (exps[s] / z).astype(dt).astype(f32)   # [Bt, 1]
+                pv = jnp.where(head_mask, p, 0.0)          # [Bt, D] f32
+                att32 = att32 + pv * cv[:, s * D:(s + 1) * D].astype(f32)
+        a = att32.astype(dt)
+
+        ao = mm(a, W[l][:, 3 * D:4 * D]).astype(dt) \
+            + mm(col1, Bc[l][:, 3 * D:4 * D]).astype(dt)
+        x = x + ao
+        h = ln(x, Dln2[l], Bln[l][:, D:2 * D], col1)
+        f1 = mm(h, W[l][:, 4 * D:4 * D + F]).astype(dt) \
+            + mm(col1, Bc[l][:, 4 * D:4 * D + F]).astype(dt)
+        f2 = mm(gelu(f1), Wff2[l]).astype(dt) \
+            + mm(col1, Bc[l][:, 4 * D + F:]).astype(dt)
+        return x + f2, ck, cv
+
+    def step(t, carry):
+        (caches, scores, prev, adv, eos_top, fin,
+         ys_acc, ptr_acc, sc_acc) = carry
+        # caches: K x L x (ck, cv) nested tuples of [Bt, S*D] dt;
+        # scores: K x [Bt, 1] f32; prev: K x [Bt, 1] i32; adv/eos/fin
+        # [Bt, 1] i32; tapes [Bt, TKp] accumulators — identical carry
+        # discipline to pallas_beam._kernel (runtime-derived inits, no
+        # replicated-constant layouts entering the back edge).
+        done = (eos_top > 0) & (fin >= n_best)
+        cur_len = adv + 1
+        eos_early = cur_len < min_length
+        is_first = adv == 0
+        zi = adv * 0
+
+        cand, caches_new = [], []
+        for k in range(K):
+            # token -> residual stream: one-hot matmul against the
+            # pos-less token table, plus the position row via a one-hot
+            # over the position table (all rows identical: pos is
+            # uniform at t+1)
+            oh = (v_lane == prev[k]).astype(dt)
+            ohp = (s_lane == t + 1).astype(dt)
+            x = (mm(oh, tok_t) + mm(ohp, pos_t)).astype(dt)   # [Bt, D]
+            cks, cvs = [], []
+            for l in range(L):
+                ck, cv = caches[k][l]
+                x, ck, cv = block_step(l, x, ck, cv, t, zi)
+                cks.append(ck)
+                cvs.append(cv)
+            caches_new.append(tuple(zip(cks, cvs)))
+
+            xf = ln(x, dlnf, blnf, col1).astype(f32)
+            logits = mm(xf, wout) + mm(col1.astype(f32), bout)  # [Bt, Vp]
+            logits = jnp.where(v_lane < V, logits, NINF)
+            m = jnp.max(logits, axis=1, keepdims=True)
+            sh = logits - m
+            logp = sh - jnp.log(jnp.sum(jnp.exp(sh), axis=1,
+                                        keepdims=True))
+
+            # candidate row block (beam.py _advance_one) — verbatim
+            # pallas_beam._kernel
+            wp = jnp.where(v_lane == START_IDX, NEG, logp)
+            wp = jnp.where((v_lane == EOS_IDX) & eos_early, NEG, wp)
+            later = wp + scores[k]
+            later = jnp.where(prev[k] == EOS_IDX, NEG, later)
+            first = wp if k == 0 else jnp.full_like(wp, NINF)
+            bs = jnp.where(is_first, first, later)
+            cand.append(jnp.where(bs == 0.0, 0.0, bs))
+
+        # iterated top-K (verbatim pallas_beam._kernel)
+        best_l, nexty_l, prevk_l = [], [], []
+        for _ in range(K):
+            rmax = [jnp.max(cand[k], axis=1, keepdims=True)
+                    for k in range(K)]
+            rarg = [jnp.argmax(cand[k], axis=1,
+                               keepdims=True).astype(jnp.int32)
+                    for k in range(K)]
+            vbest = rmax[K - 1]
+            kbest = rarg[K - 1] * 0 + (K - 1)
+            for j in range(K - 2, -1, -1):
+                cond = rmax[j] >= vbest
+                vbest = jnp.where(cond, rmax[j], vbest)
+                kbest = jnp.where(cond, j, kbest)
+            vstar = rarg[K - 1]
+            for j in range(K - 2, -1, -1):
+                vstar = jnp.where(kbest == j, rarg[j], vstar)
+            best_l.append(vbest)
+            nexty_l.append(vstar)
+            prevk_l.append(kbest)
+            cand = [jnp.where((kbest == k) & (v_lane == vstar), NINF,
+                              cand[k]) for k in range(K)]
+
+        # bookkeeping + emission tape (verbatim pallas_beam._kernel),
+        # plus the cache beam reorder as the K-way select chain over
+        # the [Bt, S*D] VMEM arrays
+        eos_new = eos_top | ((nexty_l[0] == EOS_IDX)
+                             & ~done).astype(jnp.int32)
+        fin_new = fin
+        scores_new, prev_new, caches_next = [], [], []
+        for k in range(K):
+            mask_k = (nexty_l[k] == EOS_IDX) & ~done
+            fin_new = fin_new + mask_k.astype(jnp.int32)
+            scores_new.append(jnp.where(done, scores[k], best_l[k]))
+            prev_new.append(jnp.where(done, prev[k], nexty_l[k]))
+            hit = tk_lane == t * K + k
+            ys_acc = jnp.where(hit, jnp.where(done, PAD_IDX, nexty_l[k]),
+                               ys_acc)
+            ptr_acc = jnp.where(hit, jnp.where(done, 0, prevk_l[k]),
+                                ptr_acc)
+            sc_acc = jnp.where(hit, best_l[k], sc_acc)
+            layer_sel = []
+            for l in range(L):
+                ck = caches_new[K - 1][l][0]
+                cv = caches_new[K - 1][l][1]
+                for j in range(K - 2, -1, -1):
+                    sel = prevk_l[k] == j
+                    ck = jnp.where(sel, caches_new[j][l][0], ck)
+                    cv = jnp.where(sel, caches_new[j][l][1], cv)
+                layer_sel.append((ck, cv))
+            caches_next.append(tuple(layer_sel))
+        adv_new = jnp.where(done, adv, adv + 1)
+
+        return (tuple(caches_next), tuple(scores_new), tuple(prev_new),
+                adv_new, eos_new, fin_new, ys_acc, ptr_acc, sc_acc)
+
+    # carry inits derived from runtime data (see pallas_beam._kernel's
+    # "Invalid relayout" notes): the caches start as the latent-prefix
+    # row tiled into block 0 and zeros elsewhere, built from the k0/v0
+    # inputs themselves
+    blk0 = sd_blk == 0
+    cache0 = tuple(
+        tuple((jnp.where(blk0, _lane_tile(k0[l], S), k0[l][:, :1] * 0),
+               jnp.where(blk0, _lane_tile(v0[l], S), v0[l][:, :1] * 0))
+              for l in range(L))
+        for _ in range(K))
+    zi = (k0[0][:, :1].astype(f32) * 0.0).astype(jnp.int32)
+    zf = zi.astype(jnp.float32)
+    tz = tk_lane * 0
+    carry = (
+        cache0,
+        tuple(zf for _ in range(K)),
+        tuple(zi + (START_IDX if k == 0 else PAD_IDX)
+              for k in range(K)),
+        zi, zi, zi,
+        tz, tz, tz.astype(jnp.float32),
+    )
+    (_, scores, _, adv, _, fin, ys_acc, ptr_acc, sc_acc) = (
+        jax.lax.fori_loop(0, T, step, carry))
+    ys_ref[:] = ys_acc
+    ptr_ref[:] = ptr_acc
+    sc_ref[:] = sc_acc
+    for k in range(K):
+        scoref_ref[:, k:k + 1] = scores[k]
+    adv_ref[:] = adv
+    fin_ref[:] = fin
+
+
+def _perm_qkv_cols(H, D):
+    """Column permutation [H,3,Dh]-interleaved -> [q|k|v] head-major."""
+    import numpy as np
+    Dh = D // H
+    cols = []
+    for which in range(3):
+        for hh in range(H):
+            base = hh * 3 * Dh + which * Dh
+            cols.extend(range(base, base + Dh))
+    return np.asarray(cols)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "T", "K", "V", "S", "H", "F", "min_length", "n_best", "block_b",
+    "interpret"))
+def beam_scan_tfm(tok_table, pos_table, layers, lnf_g, lnf_b, w_out,
+                  b_out, k0s, v0s, *, T, K, V, S, H, F, min_length,
+                  n_best, block_b=None, interpret=False):
+    """Run the fused transformer beam scan; same tape contract as
+    pallas_beam.beam_scan_gru ([B, T, K] batch-major tapes + final
+    state).
+
+    tok_table [V, D] (embed -> in-proj folded, PAD row zeroed, signed
+    zeros canonicalized), pos_table [S, D], layers = list of per-layer
+    dicts with keys ln1(g,b), qkv(w,b) PRE-PERMUTED to [q|k|v]
+    head-major columns, attn_out(w,b), ln2(g,b), ff1(w,b), ff2(w,b) —
+    all in the decode dtype dt except LN params (always f32, mirroring
+    models/transformer._ln's f32 math). k0s/v0s: per-layer latent-prefix
+    cache rows [B, D] in dt (from models/transformer.init_cache).
+    """
+    B = k0s[0].shape[0]
+    dt = tok_table.dtype
+    D = _LANE
+    L = len(layers)
+    Vp = _LANE
+    Sp = 32
+    Bt = int(block_b if block_b is not None else default_block_b(dt))
+    assert Bt % 8 == 0, "block_b must be a multiple of the sublane tile"
+    Bpad = -(-B // Bt) * Bt
+    grid = Bpad // Bt
+    TKp = -(-(T * K) // _LANE) * _LANE
+
+    f32 = jnp.float32
+
+    def brow(vec, width, dtype):
+        """[width] bias -> [128, width] matrix with the bias in row 0."""
+        z = jnp.zeros((_LANE, width), dtype)
+        return z.at[0].set(vec.astype(dtype))
+
+    tok_p = _pad_to(tok_table, Vp, 0)                      # [Vp, D]
+    pos_p = _pad_to(pos_table, Sp, 0)                      # [Sp, D]
+    dlnf = jnp.diag(lnf_g.astype(f32))
+    blnf = brow(lnf_b, D, f32)
+    wout_p = _pad_to(w_out.astype(f32), Vp, 1)             # [D, Vp]
+    bout_p = brow(_pad_to(b_out.astype(f32)[None], Vp, 1)[0], Vp, f32)
+
+    layer_arrays = []
+    for lp in layers:
+        wcat = jnp.concatenate(
+            [lp["qkv"]["w"], lp["attn_out"]["w"], lp["ff1"]["w"]],
+            axis=1).astype(dt)                             # [D, 4D+F]
+        wff2 = lp["ff2"]["w"].astype(dt)                   # [F, D]
+        bcat = brow(jnp.concatenate(
+            [lp["qkv"]["b"], lp["attn_out"]["b"], lp["ff1"]["b"],
+             lp["ff2"]["b"]]), 4 * D + F + D, dt)          # [D, 4D+F+D]
+        dln1 = jnp.diag(lp["ln1"]["g"].astype(f32))
+        dln2 = jnp.diag(lp["ln2"]["g"].astype(f32))
+        blncat = brow(jnp.concatenate(
+            [lp["ln1"]["b"], lp["ln2"]["b"]]), 2 * D, f32)
+        layer_arrays.append((wcat, wff2, bcat, dln1, dln2, blncat))
+
+    k0p = [_pad_to(k.astype(dt), Bpad, 0) for k in k0s]
+    v0p = [_pad_to(v.astype(dt), Bpad, 0) for v in v0s]
+
+    kern = functools.partial(
+        _kernel, T=T, K=K, V=V, S=S, L=L, H=H, F=F, Bt=Bt, TKp=TKp,
+        min_length=min_length, n_best=n_best, dt=dt)
+    full = lambda s: pl.BlockSpec(s, lambda i: (0,) * len(s))
+    tile2 = lambda d: pl.BlockSpec((Bt, d), lambda i: (i, 0))
+
+    in_specs = [full((Vp, D)), full((Sp, D)), full((D, D)), full((D, D)),
+                full((D, Vp)), full((D, Vp))]
+    operands = [tok_p, pos_p, dlnf, blnf, wout_p, bout_p]
+    for l in range(L):
+        wcat, wff2, bcat, dln1, dln2, blncat = layer_arrays[l]
+        in_specs += [full((D, 4 * D + F)), full((F, D)),
+                     full((D, 4 * D + F + D)), full((D, D)),
+                     full((D, D)), full((D, 2 * D)), tile2(D), tile2(D)]
+        operands += [wcat, wff2, bcat, dln1, dln2, blncat, k0p[l], v0p[l]]
+
+    tape = lambda dtype: jax.ShapeDtypeStruct((Bpad, TKp), dtype)
+    out_shapes = (
+        tape(jnp.int32), tape(jnp.int32), tape(jnp.float32),
+        jax.ShapeDtypeStruct((Bpad, K), jnp.float32),
+        jax.ShapeDtypeStruct((Bpad, 1), jnp.int32),
+        jax.ShapeDtypeStruct((Bpad, 1), jnp.int32),
+    )
+    out_specs = (tile2(TKp), tile2(TKp), tile2(TKp),
+                 tile2(K), tile2(1), tile2(1))
+    ys, ptr, sc, scores, adv, fin = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*operands)
+
+    def tapes(a):
+        return a[:B, :T * K].reshape(B, T, K)
+
+    return (tapes(ys), tapes(ptr), tapes(sc),
+            scores[:B], adv[:B, 0], fin[:B, 0])

@@ -1,0 +1,167 @@
+"""Whole-scan fused Pallas TRANSFORMER beam (ops/pallas_tfm_beam.py) vs
+the XLA scan path.
+
+Same harness discipline as tests/test_pallas_beam.py: interpret mode
+executes the kernel body as plain jnp on CPU, so these run everywhere;
+on the TPU backend the same dispatch compiles to Mosaic. The fp32 path
+must be TOKEN-exact against the XLA arm (the kernel mirrors the XLA
+arm's f32 LayerNorm/softmax/logit math and shares init_cache for the
+latent prefix and _finalize_one for the backtrace); scores carry a
+small reassociation tolerance (the embed->in-proj fold and the padded
+128-lane vocab reductions group float sums differently).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from controlled_peptide_generation_tpu import config as C
+from controlled_peptide_generation_tpu.models import build_model
+from controlled_peptide_generation_tpu.ops import beam as beam_mod
+from controlled_peptide_generation_tpu.ops import nn
+from controlled_peptide_generation_tpu.ops import pallas_tfm_beam
+
+pytestmark = pytest.mark.quick
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    cfg = C.default_config()
+    cfg.model.E_args.E_class = "transformer"
+    cfg.model.G_args.G_class = "transformer"
+    cfg.model.z_dim = 12
+    cfg.model.emb_dim = 10
+    model = build_model(cfg.model, n_vocab=13, max_seq_len=10)
+    params = model.init_params(jax.random.PRNGKey(42))
+    return model, params
+
+
+def _both_paths(model, params, z, c, K, n_best, min_length=1):
+    beam_mod.set_pallas_beam(False)
+    try:
+        ref = beam_mod.beam_search(model, params, z, c, beam_size=K,
+                                   n_best=n_best, min_length=min_length)
+        ref = jax.tree.map(np.asarray, ref)
+    finally:
+        beam_mod.set_pallas_beam(None)
+    jax.clear_caches()
+    beam_mod.set_pallas_beam(True)
+    try:
+        got = beam_mod.beam_search(model, params, z, c, beam_size=K,
+                                   n_best=n_best, min_length=min_length)
+        got = jax.tree.map(np.asarray, got)
+    finally:
+        beam_mod.set_pallas_beam(None)
+        jax.clear_caches()
+    return ref, got
+
+
+@pytest.mark.parametrize("seed,K,n_best", [(0, 5, 3), (1, 4, 1),
+                                           (2, 3, 3)])
+def test_matches_xla_beam(model_and_params, seed, K, n_best):
+    model, params = model_and_params
+    kz, kc = jax.random.split(jax.random.PRNGKey(seed))
+    B = 9
+    z = model.sample_z_prior(kz, B)
+    c = model.sample_c_prior(kc, B)
+    (h_ref, s_ref), (h_pl, s_pl) = _both_paths(model, params, z, c, K,
+                                               n_best)
+    np.testing.assert_array_equal(h_ref, h_pl)
+    np.testing.assert_allclose(s_ref, s_pl, rtol=1e-5, atol=1e-5)
+
+
+def test_tile_boundary_and_padding(model_and_params):
+    """B crossing the batch-tile boundary: padded sentences must not
+    perturb real ones, and output slicing must drop them exactly."""
+    model, params = model_and_params
+    kz, kc = jax.random.split(jax.random.PRNGKey(7))
+    B = pallas_tfm_beam.default_block_b(jnp.float32) + 3
+    z = model.sample_z_prior(kz, B)
+    c = model.sample_c_prior(kc, B)
+    (h_ref, s_ref), (h_pl, s_pl) = _both_paths(model, params, z, c, 5, 3)
+    np.testing.assert_array_equal(h_ref, h_pl)
+    np.testing.assert_allclose(s_ref, s_pl, rtol=1e-5, atol=1e-5)
+
+
+def test_min_length_blocking(model_and_params):
+    model, params = model_and_params
+    kz, kc = jax.random.split(jax.random.PRNGKey(3))
+    z = model.sample_z_prior(kz, 6)
+    c = model.sample_c_prior(kc, 6)
+    (h_ref, s_ref), (h_pl, s_pl) = _both_paths(model, params, z, c, 5, 3,
+                                               min_length=4)
+    np.testing.assert_array_equal(h_ref, h_pl)
+    np.testing.assert_allclose(s_ref, s_pl, rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_decode_dtype(model_and_params):
+    """The production fused round casts params/latents to bfloat16; both
+    paths must agree there too — the kernel mirrors the XLA arm's bf16
+    rounding points (f32 attention logits, probs rounded to bf16 before
+    the value contraction, value sum rounded once)."""
+    model, params = model_and_params
+    kz, kc = jax.random.split(jax.random.PRNGKey(5))
+    z = model.sample_z_prior(kz, 8).astype(jnp.bfloat16)
+    c = model.sample_c_prior(kc, 8).astype(jnp.bfloat16)
+    p16 = nn.cast_tree(params, jnp.bfloat16)
+    (h_ref, s_ref), (h_pl, s_pl) = _both_paths(model, p16, z, c, 5, 1)
+    np.testing.assert_array_equal(h_ref, h_pl)
+    np.testing.assert_allclose(s_ref, s_pl, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_ancestry_matches_generic_scan(model_and_params, dtype):
+    """The no-reorder ancestry formulation (the default XLA transformer
+    beam, ops/beam._beam_search_tfm_anc) is an exact reorganization of
+    the generic reorder scan: one-hot ancestor selection instead of
+    cache gathers, same rounding points — token-for-token equal in both
+    dtypes on CPU."""
+    model, params = model_and_params
+    kz, kc = jax.random.split(jax.random.PRNGKey(11))
+    B = 17
+    dt = jnp.dtype(dtype)
+    p = params if dt == jnp.float32 else nn.cast_tree(params, dt)
+    z = model.sample_z_prior(kz, B).astype(dt)
+    c = model.sample_c_prior(kc, B).astype(dt)
+    beam_mod.set_pallas_beam(False)
+    try:
+        beam_mod.set_tfm_anc(False)
+        ref = jax.tree.map(np.asarray, beam_mod.beam_search(
+            model, p, z, c, beam_size=5, n_best=3))
+        jax.clear_caches()
+        beam_mod.set_tfm_anc(True)
+        got = jax.tree.map(np.asarray, beam_mod.beam_search(
+            model, p, z, c, beam_size=5, n_best=3))
+    finally:
+        beam_mod.set_tfm_anc(None)
+        beam_mod.set_pallas_beam(None)
+        jax.clear_caches()
+    np.testing.assert_array_equal(ref[0], got[0])
+    np.testing.assert_allclose(np.asarray(ref[1], np.float32),
+                               np.asarray(got[1], np.float32),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_applicability_gate():
+    cfg = C.default_config()
+    cfg.model.E_args.E_class = "transformer"
+    cfg.model.G_args.G_class = "transformer"
+    model = build_model(cfg.model, n_vocab=26, max_seq_len=25)
+    assert pallas_tfm_beam.applicable(model, 5, jnp.float32)
+    assert pallas_tfm_beam.applicable(model, 5, jnp.bfloat16)
+    assert not pallas_tfm_beam.applicable(model, 5, jnp.float16)
+    assert not pallas_tfm_beam.applicable(model, 1, jnp.float32)   # K<=1
+    assert not pallas_tfm_beam.applicable(model, 25, jnp.float32)  # K>V-2
+    # GRU family is the OTHER kernel's scope
+    gru = build_model(C.default_config().model, n_vocab=26,
+                      max_seq_len=25)
+    assert not pallas_tfm_beam.applicable(gru, 5, jnp.float32)
+    # d_model != 128 falls back to the XLA arm
+    cfg2 = C.default_config()
+    cfg2.model.E_args.E_class = "transformer"
+    cfg2.model.G_args.G_class = "transformer"
+    cfg2.model.G_args.T_args = dict(cfg2.model.G_args.T_args,
+                                    d_model=64)
+    m2 = build_model(cfg2.model, n_vocab=26, max_seq_len=25)
+    assert not pallas_tfm_beam.applicable(m2, 5, jnp.float32)
