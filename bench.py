@@ -213,7 +213,19 @@ def bench_train(cfg, model, params, n_steps=100, batch_size=32):
     p, o, m = chunk_step(p, o, rng, jnp.asarray(pool_np[0]),
                          jnp.asarray(0, jnp.int32))   # compile
     jax.block_until_ready(p)
+    # SUSTAINED wall rate: time enough chunks that the first dispatch's
+    # tunnel RTT amortizes away. The round-4 recorded 1,191 steps/s was
+    # an artifact of timing TWO 50-step chunks (one ~30 ms RTT against
+    # ~20 ms of device work); chained async dispatches pipeline to the
+    # device rate — 5,271 wall steps/s measured at the same shape
+    # (BENCH.md "the train-step wall gap was the measurement").
     n_chunks = max(n_steps // unroll, 1)
+    t0 = time.perf_counter()
+    p, o, m = chunk_step(p, o, rng, jnp.asarray(pool_np[0]),
+                         jnp.asarray(0, jnp.int32))
+    jax.block_until_ready(p)
+    per_chunk = time.perf_counter() - t0
+    n_chunks = max(n_chunks, min(200, int(2.0 / max(per_chunk, 1e-4))))
     t0 = time.perf_counter()
     for i in range(n_chunks):
         p, o, m = chunk_step(p, o, rng, jnp.asarray(pool_np[i % 4]),

@@ -346,12 +346,15 @@ def default_config():
                               # re-association, tests/test_pallas_gru.py)
         flat_optimizer="auto",  # phase-1 clip+adam on ONE raveled param
                                 # vector (train/opt.py) instead of
-                                # per-leaf optax kernels: "auto" = off,
+                                # per-leaf optax kernels: "auto" = OFF
+                                # permanently — measured 0.52x/0.72x/
+                                # 0.95x at b32/256/1024 (the ravel cost
+                                # exceeds the per-leaf launches it
+                                # saves; BENCH.md "flat optimizer");
                                 # "on" opts in (same math up to float
                                 # re-association; opt-state checkpoint
-                                # layout differs — don't flip across a
-                                # resume). tools/bench_flat_adam.py
-                                # carries the measurement
+                                # layout differs — flipping across a
+                                # resume raises, train/checkpoints.py)
         pallas_beam="auto",   # GRU beam kernel route (ops/pallas_beam.py):
                               # "auto" = fused Pallas kernel on the TPU
                               # backend (1.28-1.58x, near-tie flips only),
