@@ -42,6 +42,7 @@ import time
 from collections import deque
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from . import pipeline
@@ -347,6 +348,20 @@ class GenerationServer:
                     self.cfg, self.model, self.params, self.Q, n,
                     jax.random.fold_in(self._key, self._round_ix),
                     fused=True, mesh=self.mesh)
+                # pack the round's host-bound outputs into ONE int32
+                # device buffer (+ one scalar) and start their D2H
+                # copies NOW: the tunnel's D2H has a large FIXED cost
+                # per transfer (~0.5-1.3 s measured), so five per-array
+                # fetches per bounded round serialized into 12.25 s of
+                # wall for ~2 s of device work in the 5-round load
+                # test; packing + async copies cut it to two transfers
+                # per round that overlap the next rounds' device time.
+                # Same lesson as pipeline._fused_sampling_loop, taken
+                # one step further for the latency-bound serving path.
+                out = self._pack_round(out)
+                for leaf in out[1:3]:
+                    if hasattr(leaf, "copy_to_host_async"):
+                        leaf.copy_to_host_async()
                 return n, t0, out
             except Exception as e:
                 oom = pipeline.is_device_oom(e)
@@ -359,6 +374,30 @@ class GenerationServer:
                             n, shrink)
                 self._max_candidates = n = shrink
 
+    def _pack_round(self, out):
+        """Device-side packing of a launched round's host-bound outputs:
+        ("packed", main int32 [rows, T + has_valid + n_scores],
+        n_candidates+n_accepted scalars [2] i32, score_keys, has_valid).
+        Scores ride as bitcast int32 columns (exact). z and idx are
+        never read by the server and stay on device."""
+        z, scores, accept, tokens, _idx, valid = out
+        keys = sorted(scores)
+
+        # column 0..T-1: tokens; column T: keep-flag (the compacted
+        # valid mask in accepted-only mode, the accept mask in
+        # decode-all — either way "rows a client may receive");
+        # remaining columns: one bitcast f32 score per key
+        flag = accept if valid is None else valid
+        cols = [jnp.asarray(tokens, jnp.int32),
+                jnp.asarray(flag, jnp.int32)[:, None]]
+        for k in keys:
+            cols.append(jax.lax.bitcast_convert_type(
+                jnp.asarray(scores[k], jnp.float32), jnp.int32)[:, None])
+        main = jnp.concatenate(cols, axis=1)
+        counts = jnp.stack([jnp.asarray(accept.shape[0], jnp.int32),
+                            jnp.sum(accept, dtype=jnp.int32)])
+        return ("packed", main, counts, keys)
+
     def _finish_round(self, pending):
         """Materialize a dispatched round: block on the device outputs,
         read them back, dedup/detokenize/physchem on host; returns row
@@ -366,25 +405,40 @@ class GenerationServer:
         under the overlapped worker loop it includes time the worker
         spent post-processing the PREVIOUS round — that is the overlap
         working as intended, not double-counted device time."""
-        n, t0, (z, scores, accept, tokens, _idx, valid) = pending
-        jax.block_until_ready(tokens)
-        t_dev = time.perf_counter()
-        tokens_np = np.asarray(tokens)
-        accept_np = np.asarray(accept)
-        scores_np = {k: np.asarray(v) for k, v in scores.items()}
-        n_candidates = accept_np.shape[0]
-        t_d2h = time.perf_counter()
-        if valid is not None:
-            # accepted-only decode: the valid compacted slots are the
-            # accepted candidates (rejected rows never reached the host)
-            v = np.asarray(valid)
-            tokens_np = tokens_np[v]
-            scores_np = {k: s[v] for k, s in scores_np.items()}
-            n_accepted = int(accept_np.sum())
-        else:
-            n_accepted = int(accept_np.sum())
-            tokens_np = tokens_np[accept_np]
-            scores_np = {k: s[accept_np] for k, s in scores_np.items()}
+        n, t0, out = pending
+        if isinstance(out, tuple) and out and out[0] == "packed":
+            _, main, counts, keys = out
+            jax.block_until_ready(main)
+            t_dev = time.perf_counter()
+            main_np = np.asarray(main)
+            n_candidates, n_accepted = (int(x) for x in
+                                        np.asarray(counts))
+            t_d2h = time.perf_counter()
+            T = main_np.shape[1] - 1 - len(keys)
+            keep_flag = main_np[:, T].astype(bool)
+            tokens_np = main_np[:, :T][keep_flag]
+            scores_np = {
+                k: np.ascontiguousarray(
+                    main_np[:, T + 1 + i]).view(np.float32)[keep_flag]
+                for i, k in enumerate(keys)}
+        else:  # raw 6-tuple (tests inject these)
+            z, scores, accept, tokens, _idx, valid = out
+            jax.block_until_ready(tokens)
+            t_dev = time.perf_counter()
+            tokens_np = np.asarray(tokens)
+            accept_np = np.asarray(accept)
+            scores_np = {k: np.asarray(v) for k, v in scores.items()}
+            n_candidates = accept_np.shape[0]
+            t_d2h = time.perf_counter()
+            if valid is not None:
+                v = np.asarray(valid)
+                tokens_np = tokens_np[v]
+                scores_np = {k: s[v] for k, s in scores_np.items()}
+                n_accepted = int(accept_np.sum())
+            else:
+                n_accepted = int(accept_np.sum())
+                tokens_np = tokens_np[accept_np]
+                scores_np = {k: s[accept_np] for k, s in scores_np.items()}
         # runtime miscompile canary (pipeline.beam_canary_check): a
         # within-round uniqueness collapse on the Pallas beam route flips
         # the process to the XLA arm; this round's rows are suspect, so

@@ -85,6 +85,8 @@ def test_serve_canary_fallback_on_scrambled_tape(monkeypatch, gru_model):
         return orig_finish(self, (n, t0, fake_finish_payload(tag)))
 
     monkeypatch.setattr(S.pipeline, "launch_round", fake_launch)
+    monkeypatch.setattr(S.GenerationServer, "_pack_round",
+                        lambda self, out: out)  # tags pass through
     monkeypatch.setattr(S.GenerationServer, "_finish_round",
                         finish_with_fake)
     monkeypatch.setattr(

@@ -59,6 +59,18 @@ def main(argv=None):
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     url = f"http://127.0.0.1:{port}/generate"
 
+    # warm the round program first (recorded separately): the in-process
+    # first round compiles the fused program (~8 s remote compile, paid
+    # once per process and served from the persistent cache thereafter).
+    # Without this every latency in the burst includes the compile wait
+    # and the percentiles measure XLA, not the serving layer (the
+    # round-4 'p99 5.49s' and the first round-5 'p99 11.2s' were exactly
+    # that). Steady-state p50/p99 are the production-relevant numbers;
+    # cold_first_request_s keeps the cold story honest alongside.
+    t0 = time.perf_counter()
+    server.generate(10, timeout=args.timeout)
+    cold_s = time.perf_counter() - t0
+
     latencies, errors, served = [], [], 0
     lock = threading.Lock()
 
@@ -104,6 +116,7 @@ def main(argv=None):
         "completed": len(lat),
         "errors": len(errors),
         "wall_s": round(wall, 2),
+        "cold_first_request_s": round(cold_s, 2),
         "served_unique_samples": served,
         "served_per_s": round(served / wall, 1),
         "latency_p50_s": round(pct(lat, 50), 3),
