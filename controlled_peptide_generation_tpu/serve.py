@@ -523,6 +523,15 @@ def make_http_server(server, host="127.0.0.1", port=8800,
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+    class _Server(ThreadingHTTPServer):
+        # socketserver's default listen backlog is 5: a burst of
+        # concurrent clients (the 16x3 load test opens 48 connections
+        # at once) overflows the accept queue — measured as multi-second
+        # p99 waits before the request even reaches the handler, and
+        # occasional [Errno 104] connection resets. The serving layer
+        # coalesces demand precisely so bursts are cheap; let them in.
+        request_queue_size = 128
+
     class Handler(BaseHTTPRequestHandler):
         def _json(self, code, obj):
             body = json.dumps(obj).encode()
@@ -575,7 +584,7 @@ def make_http_server(server, host="127.0.0.1", port=8800,
         def log_message(self, fmt, *a):
             LOG.debug("%s " + fmt, self.address_string(), *a)
 
-    return ThreadingHTTPServer((host, port), Handler)
+    return _Server((host, port), Handler)
 
 
 def build_server(cfg, args):
