@@ -506,9 +506,11 @@ def bench_class(cfg, model, params, n_per_round=5000, min_accepted=100,
     accepted output set, see latent/fused.py). Only decoded accepted
     samples count toward the rate either way.
 
-    decode_dtype defaults to the platform's best configuration (bfloat16
-    on TPU, float32 on CPU) so the recorded CPU baseline is best-vs-best,
-    not handicapped by emulated bf16."""
+    decode_dtype defaults to the platform's best configuration — float32
+    everywhere since the whole-scan Pallas beam kernel made fp32 the
+    faster TPU decode too (+8-9% on the fused round, BENCH.md "gen_dtype
+    flip"; bf16 was the XLA-scan-era winner), which also makes the CPU
+    baseline exactly like-for-like."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -516,8 +518,7 @@ def bench_class(cfg, model, params, n_per_round=5000, min_accepted=100,
     from controlled_peptide_generation_tpu.ops.beam import beam_search
 
     if decode_dtype is None:
-        decode_dtype = ("bfloat16" if jax.devices()[0].platform != "cpu"
-                        else "float32")
+        decode_dtype = "float32"
     key = jax.random.PRNGKey(4)
     # synthetic latent corpus standing in for dumped encoder states
     mu = 0.5 * jax.random.normal(key, (5000, model.z_dim))

@@ -331,10 +331,17 @@ def default_config():
         accept_cap_frac=0.5,  # decode_mode=accepted: decode-slot capacity
                               # as a fraction of the round size; accepted
                               # candidates beyond it are dropped unbiasedly
-        gen_dtype="bfloat16",  # CLaSS decode compute dtype (MXU-native;
-                               # rejection + beam scores stay fp32);
-                               # set float32 AND pallas_beam="off" for
-                               # bit-parity with the API's fp32 XLA path
+        gen_dtype="float32",  # CLaSS decode compute dtype. bf16 won the
+                              # XLA-scan era (+4%, round 3); under the
+                              # whole-scan Pallas beam kernel fp32 is
+                              # FASTER (beam 1.10M vs 998k seqs/s; fused
+                              # 50k round 45.6/23.0 ms vs 49.3/25.1 —
+                              # +8-9%, measured 2026-08-20, BENCH.md
+                              # "gen_dtype flip") AND is the bit-parity
+                              # dtype vs the API's fp32 path. bfloat16
+                              # remains selectable (halves decode HBM;
+                              # the right choice on memory-tight
+                              # configs or the XLA arm)
         pallas_train="auto",  # fused GRU train/encode scans
                               # (ops/pallas_gru.py fwd+bwd kernels):
                               # "auto" currently resolves to OFF — the

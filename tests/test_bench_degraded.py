@@ -39,8 +39,11 @@ def test_wedged_phase_emits_degraded_json():
     """A phase that blocks forever -> deadline reaper emits a parseable
     degraded JSON naming the stuck phase, exit code 0, heartbeats on
     stderr."""
+    # generous deadline: the phases BEFORE the wedge (jax init, device
+    # discovery) must complete inside it even on a heavily loaded CPU —
+    # at 6 s this flaked under full-suite machine load
     res = _run_bench({
-        "CPG_BENCH_DEADLINE_S": "6",
+        "CPG_BENCH_DEADLINE_S": "25",
         "CPG_HEARTBEAT_S": "2",
         "CPG_BENCH_SELFTEST_WEDGE": "build model",
     })
@@ -62,14 +65,17 @@ def test_wedged_first_d2h_is_bounded_and_diagnosed():
     the bounded wait gives up with a diagnostic instead of blocking
     forever, the run proceeds, and a later wedge still yields the
     degraded JSON."""
+    # deadline must cover: jax init + model build (slow under load) +
+    # the bounded D2H wait (0.4x deadline) with margin left to reach
+    # the wedged bench phase
     res = _run_bench({
-        "CPG_BENCH_DEADLINE_S": "20",
+        "CPG_BENCH_DEADLINE_S": "60",
         "CPG_HEARTBEAT_S": "2",
         "CPG_SELFTEST_WEDGE_D2H": "1",
         "CPG_BENCH_SELFTEST_WEDGE": "bench_class decode-all",
     })
     assert res.returncode == 0, res.stderr[-2000:]
-    # the bounded wait (0.4 * deadline = 8s) expired and said so
+    # the bounded wait (0.4 * deadline = 24s) expired and said so
     assert "first-D2H gave up" in res.stderr
     payload = _final_json(res.stdout)
     assert payload["degraded"] is True

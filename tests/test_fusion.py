@@ -211,7 +211,8 @@ def test_beam_chunk_slicing_is_bit_exact(setup):
 
 
 def test_bf16_decode_quality_vs_fp32():
-    """The CLaSS decode runs in bfloat16 (hw.gen_dtype). Quality gate:
+    """hw.gen_dtype offers a bfloat16 CLaSS decode (the fp32 default won
+    the Pallas-kernel era, BENCH.md "gen_dtype flip"). Quality gate:
     the fp32-rescored log-prob of bf16-decoded beam hypotheses must be
     within a small gap of the fp32-decoded ones (beam score bookkeeping is
     fp32 in both cases)."""
