@@ -69,10 +69,11 @@ BLOCK_B = 128
 
 
 def set_block_b(value):
-    """Set the batch tile (multiple of 8). Read at trace time — callers
-    flipping it must jax.clear_caches()."""
+    """Set the batch tile (multiple of 8); None restores the swept
+    default (128). Read at trace time — callers flipping it must
+    jax.clear_caches()."""
     global BLOCK_B
-    BLOCK_B = int(value)
+    BLOCK_B = 128 if value is None else int(value)
 
 
 def applicable(model, beam_size, dtype) -> bool:

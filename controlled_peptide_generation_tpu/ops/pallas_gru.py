@@ -73,10 +73,11 @@ BLOCK_B = 64
 
 
 def set_block_b(value):
-    """Set the batch tile (multiple of 16). Read at trace time — callers
-    flipping it must jax.clear_caches()."""
+    """Set the batch tile (multiple of 16); None restores the swept
+    default (64). Read at trace time — callers flipping it must
+    jax.clear_caches()."""
     global BLOCK_B
-    BLOCK_B = int(value)
+    BLOCK_B = 64 if value is None else int(value)
 
 
 def applicable(h_dim, dtype) -> bool:

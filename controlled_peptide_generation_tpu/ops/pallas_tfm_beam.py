@@ -82,10 +82,11 @@ def default_block_b(dtype):
 
 
 def set_block_b(value):
-    """Set the batch tile (multiple of 8). Read at trace time — callers
-    flipping it must jax.clear_caches()."""
+    """Set the batch tile (multiple of 8); None restores the per-dtype
+    auto pick. Read at trace time — callers flipping it must
+    jax.clear_caches()."""
     global BLOCK_B
-    BLOCK_B = int(value)
+    BLOCK_B = None if value is None else int(value)
 
 
 def applicable(model, beam_size, dtype) -> bool:
