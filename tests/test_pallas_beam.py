@@ -171,3 +171,25 @@ def test_applicability_gate():
     cfg2.model.G_args.G_class = "deconv"
     model_dc = build_model(cfg2.model, n_vocab=13, max_seq_len=10)
     assert not pallas_beam.applicable(model_dc, 5, jnp.float32)
+
+
+def test_set_block_b_none_restores_default():
+    from controlled_peptide_generation_tpu.ops import pallas_gru, pallas_tfm_beam
+    default = pallas_beam.BLOCK_B
+    try:
+        pallas_beam.set_block_b(32)
+        assert pallas_beam.BLOCK_B == 32
+        pallas_beam.set_block_b(None)
+        assert pallas_beam.BLOCK_B == default
+        pallas_gru.set_block_b(16)
+        pallas_gru.set_block_b(None)
+        assert pallas_gru.BLOCK_B == 64
+        pallas_tfm_beam.set_block_b(8)
+        pallas_tfm_beam.set_block_b(None)
+        assert pallas_tfm_beam.BLOCK_B is None  # None = per-dtype auto pick
+        assert pallas_tfm_beam.default_block_b(jnp.float32) == 16
+        assert pallas_tfm_beam.default_block_b(jnp.bfloat16) == 32
+    finally:
+        pallas_beam.set_block_b(None)
+        pallas_gru.set_block_b(None)
+        pallas_tfm_beam.set_block_b(None)
