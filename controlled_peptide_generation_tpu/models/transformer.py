@@ -322,10 +322,12 @@ def anc_init(params, z, c, K, max_seq_len, n_heads=4, bf16=False):
     einsum (apply_step_anc). Beam advance then permutes only the tiny
     ancestry map, not the cache.
 
-    Returns (caches, anc): caches = {"k": [L x [B, K, S, D]], "v": ...}
-    with the latent prefix at position 0 of every lane, anc [B, K, S]
-    int32 initialized to the own-lane index (position 0 is identical
-    across lanes, so self-ancestry is exact)."""
+    Returns (caches, anc): caches = {"k": [L x [B, H, K, S, Dh]], "v":
+    ...} — HEAD-MAJOR, so apply_step_anc's one-hot ancestor select
+    contracts over K per head without splitting D — with the latent
+    prefix at position 0 of every lane (S = caches["k"][0].shape[3]),
+    anc [B, K, S] int32 initialized to the own-lane index (position 0 is
+    identical across lanes, so self-ancestry is exact)."""
     base = init_cache(params, z, c, max_seq_len, n_heads=n_heads,
                       bf16=bf16)
     B = z.shape[0]

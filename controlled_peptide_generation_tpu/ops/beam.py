@@ -495,7 +495,11 @@ def _beam_search_pallas_tfm(model, params, z, c, K, n_best, min_length,
     D = t_args.get("d_model", 128)
     F = t_args.get("d_ff", 4 * D)
     dec = params["dec"]
-    dt = dec["out"]["w"].dtype
+    # Effective compute dtype must mirror the XLA arm's _compute_dtype
+    # (the T_args.bf16 flag selects bf16 even over fp32 weights) or the
+    # two "token-exact" arms diverge for bf16-flag configs.
+    from ..models import transformer as tfm
+    dt = tfm._compute_dtype(dec, t_args.get("bf16", False))
     S = model.max_seq_len + 1
 
     emb_w = params["emb"]["w"].at[PAD_IDX].set(0.0)

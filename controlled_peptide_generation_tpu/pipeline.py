@@ -583,11 +583,18 @@ def beam_canary_check(cfg, model, n_rows, n_unique, context=""):
     if n_unique / max(n_rows, 1) >= floor:
         return False
     from .ops import beam as beam_mod
-    from .ops import pallas_beam
-    gen_dtype = jnp.dtype(cfg.hw.get("gen_dtype", "bfloat16"))
-    if not (beam_mod.pallas_beam_enabled()
-            and pallas_beam.applicable(model, DECODE_BEAM_SIZE,
-                                       gen_dtype)):
+    from .ops import pallas_beam, pallas_tfm_beam
+    gen_dtype = jnp.dtype(cfg.hw.get("gen_dtype", "float32"))
+    # Mirror ops/beam.py's routing: the GRU kernel routes on auto, the
+    # transformer kernel only when forced (--hw.pallas_beam on). The
+    # canary must cover whichever kernel route is actually live.
+    on_gru_kernel = (beam_mod.pallas_beam_enabled()
+                     and pallas_beam.applicable(model, DECODE_BEAM_SIZE,
+                                                gen_dtype))
+    on_tfm_kernel = (beam_mod._PALLAS_BEAM is True
+                     and pallas_tfm_beam.applicable(
+                         model, DECODE_BEAM_SIZE, gen_dtype))
+    if not (on_gru_kernel or on_tfm_kernel):
         return False  # already on the XLA arm: low uniqueness is real
     LOG.warning(
         "BEAM CANARY tripped%s: %d/%d unique decoded sequences "

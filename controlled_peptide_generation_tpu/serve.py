@@ -233,9 +233,14 @@ class GenerationServer:
             cur = None
             try:
                 # top up the in-flight queue: bounded rounds until their
-                # combined expected unique yield covers the demand (with
-                # the sizing headroom inside _round_sizes), or the depth
-                # cap is hit
+                # combined expected unique yield covers the demand or the
+                # depth cap is hit. Deliberately NO sizing headroom (the
+                # old unbounded-round design multiplied demand by 2/acc):
+                # if the rate estimate proves optimistic the NEXT loop
+                # iteration tops up again, and that extra bounded round
+                # overlaps the current one through the in-flight queue —
+                # the p99 contract (never wait behind a round bigger than
+                # round_size) stays intact either way
                 expected = sum(self._expected_yield(n, rates)
                                for (n, _, _) in inflight)
                 while len(inflight) < self._depth and (

@@ -48,6 +48,29 @@ def test_beam_canary_trips_once_and_flips_route(gru_model):
         beam_mod.set_pallas_beam(None)
 
 
+@pytest.mark.quick
+def test_beam_canary_covers_transformer_kernel_route():
+    """The transformer whole-scan kernel routes only when FORCED
+    (--hw.pallas_beam on, ops/beam.py routing); the canary must protect
+    that route too — a collapse there is the same miscompile class."""
+    cfg = C.default_config()
+    cfg.model.E_args.E_class = "transformer"
+    cfg.model.G_args.G_class = "transformer"
+    model = build_model(cfg.model, n_vocab=26, max_seq_len=25)
+    from controlled_peptide_generation_tpu.ops import pallas_tfm_beam
+    assert pallas_tfm_beam.applicable(model, pipeline.DECODE_BEAM_SIZE,
+                                      "float32")
+    beam_mod.set_pallas_beam(True)   # forced: the tfm kernel route
+    try:
+        assert pipeline.beam_canary_check(cfg, model, 1000, 3)
+        assert beam_mod.pallas_beam_enabled() is False
+        # on auto the tfm kernel never routes -> no trip (XLA arm is real)
+        beam_mod.set_pallas_beam(None)
+        assert not pipeline.beam_canary_check(cfg, model, 1000, 3)
+    finally:
+        beam_mod.set_pallas_beam(None)
+
+
 def test_serve_canary_fallback_on_scrambled_tape(monkeypatch, gru_model):
     """Injected scrambled tape (all-duplicate rows) in a serve round:
     the round is discarded, the pre-dispatched round is dropped, the

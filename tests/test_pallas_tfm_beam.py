@@ -110,6 +110,27 @@ def test_bf16_decode_dtype(model_and_params):
     np.testing.assert_allclose(s_ref, s_pl, rtol=2e-2, atol=2e-2)
 
 
+def test_bf16_flag_with_fp32_weights():
+    """--model.G_args.T_args.bf16 true with fp32 params: the XLA arm
+    computes in bfloat16 via _compute_dtype, so the kernel must derive
+    the SAME effective dtype from the flag (not from the weight dtype)
+    or the two arms silently diverge on this documented config."""
+    cfg = C.default_config()
+    cfg.model.E_args.E_class = "transformer"
+    cfg.model.G_args.G_class = "transformer"
+    cfg.model.G_args.T_args.bf16 = True
+    cfg.model.z_dim = 12
+    cfg.model.emb_dim = 10
+    model = build_model(cfg.model, n_vocab=13, max_seq_len=10)
+    params = model.init_params(jax.random.PRNGKey(6))  # fp32 weights
+    kz, kc = jax.random.split(jax.random.PRNGKey(9))
+    z = model.sample_z_prior(kz, 8)
+    c = model.sample_c_prior(kc, 8)
+    (h_ref, s_ref), (h_pl, s_pl) = _both_paths(model, params, z, c, 5, 1)
+    np.testing.assert_array_equal(h_ref, h_pl)
+    np.testing.assert_allclose(s_ref, s_pl, rtol=2e-2, atol=2e-2)
+
+
 @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
 def test_ancestry_matches_generic_scan(model_and_params, dtype):
     """The no-reorder ancestry formulation (the default XLA transformer
