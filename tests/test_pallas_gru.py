@@ -19,6 +19,27 @@ from controlled_peptide_generation_tpu.ops import gru as gru_mod
 pytestmark = pytest.mark.quick
 
 
+def _tpu():
+    return jax.default_backend() == "tpu"
+
+
+# Interpret mode (CPU) runs both paths as plain fp32 jnp, so only the
+# documented bias-fold reassociation separates them — tight tolerances.
+# On real TPU the MXU executes fp32 matmuls as bf16 passes and the two
+# paths associate the 13-25-step recurrence differently, so the honest
+# bound is accumulation noise, measured 2026-08-20 on v5e: forward max
+# abs 7.2e-4, gradients max abs 2.8e-2 (relative error is meaningless on
+# near-zero grad elements — atol dominates).
+def _fwd_tols():
+    return dict(rtol=5e-3, atol=3e-3) if _tpu() else dict(rtol=2e-5,
+                                                          atol=2e-5)
+
+
+def _grad_tols():
+    return dict(rtol=5e-2, atol=8e-2) if _tpu() else dict(rtol=1e-4,
+                                                          atol=1e-5)
+
+
 def _params(key, in_dim, h):
     return gru_mod.init_gru_params(key, in_dim, h)
 
@@ -52,8 +73,8 @@ def test_forward_matches_scan(B, T, in_dim, h, reverse):
     xs = jax.random.normal(jax.random.PRNGKey(1), (B, T, in_dim))
     h0 = jax.random.normal(jax.random.PRNGKey(2), (B, h))
     (hs_r, hl_r), (hs_p, hl_p) = _both(params, xs, h0, reverse)
-    np.testing.assert_allclose(hs_p, hs_r, rtol=2e-5, atol=2e-5)
-    np.testing.assert_allclose(hl_p, hl_r, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(hs_p, hs_r, **_fwd_tols())
+    np.testing.assert_allclose(hl_p, hl_r, **_fwd_tols())
 
 
 def test_gradients_match_scan():
@@ -85,8 +106,7 @@ def test_gradients_match_scan():
         gru_mod.set_pallas_train(None)
         jax.clear_caches()
     jax.tree.map(
-        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4,
-                                                atol=1e-5),
+        lambda a, b: np.testing.assert_allclose(a, b, **_grad_tols()),
         g_ref, g_pl)
 
 
@@ -115,8 +135,7 @@ def test_gradients_match_reverse():
         gru_mod.set_pallas_train(None)
         jax.clear_caches()
     jax.tree.map(
-        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4,
-                                                atol=1e-5),
+        lambda a, b: np.testing.assert_allclose(a, b, **_grad_tols()),
         g_ref, g_pl)
 
 
@@ -156,8 +175,13 @@ def test_train_step_trajectory():
             gru_mod.set_pallas_train(None)
             jax.clear_caches()
     (p_ref, l_ref), (p_pl, l_pl) = outs[False], outs[True]
-    assert abs(l_ref - l_pl) < 1e-4
+    # On TPU, MXU accumulation noise in the grads passes through Adam's
+    # sqrt(v) normalization: where a grad element is near zero its
+    # update direction can flip, bounding the param delta by ~lr — so
+    # atol there is a couple of lr (1e-3), not float noise.
+    assert abs(l_ref - l_pl) < (5e-3 if _tpu() else 1e-4)
+    p_tols = (dict(rtol=1e-2, atol=2e-3) if _tpu()
+              else dict(rtol=5e-3, atol=5e-5))
     jax.tree.map(
-        lambda a, b: np.testing.assert_allclose(a, b, rtol=5e-3,
-                                                atol=5e-5),
+        lambda a, b: np.testing.assert_allclose(a, b, **p_tols),
         p_ref, p_pl)
