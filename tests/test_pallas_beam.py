@@ -22,6 +22,18 @@ from controlled_peptide_generation_tpu.ops import pallas_beam
 
 pytestmark = pytest.mark.quick
 
+# Kernel-vs-XLA TOKEN equality is an interpret-mode logic invariant: on
+# real TPU the MXU's bf16-pass fp32 matmuls give the two arms different
+# rounding, so near-tie rows flip (~6% at campaign scale, BENCH_DETAILS
+# "divergence" — quality parity, not bit parity). Hardware behavior is
+# guarded by tests/test_pallas_beam_tpu.py (structure, score recompute,
+# compaction equality, batch-shape invariance) + the divergence protocol.
+_interpret_only = pytest.mark.skipif(
+    jax.default_backend() == "tpu",
+    reason="arm token-equality is interpret-mode-only; hardware guards "
+           "live in tests/test_pallas_beam_tpu.py")
+
+
 
 @pytest.fixture(scope="module")
 def model_and_params():
@@ -55,6 +67,7 @@ def _both_paths(model, params, z, c, K, n_best, min_length=1):
 
 
 @pytest.mark.parametrize("seed,K,n_best", [(0, 5, 3), (1, 4, 1), (2, 3, 3)])
+@_interpret_only
 def test_matches_xla_beam(model_and_params, seed, K, n_best):
     model, params = model_and_params
     kz, kc = jax.random.split(jax.random.PRNGKey(seed))
@@ -67,6 +80,7 @@ def test_matches_xla_beam(model_and_params, seed, K, n_best):
     np.testing.assert_allclose(s_ref, s_pl, rtol=1e-5, atol=1e-6)
 
 
+@_interpret_only
 def test_tile_boundary_and_padding(model_and_params):
     """B crossing a 128-lane tile boundary: padded sentences must not
     perturb real ones, and output slicing must drop them exactly."""
@@ -80,6 +94,7 @@ def test_tile_boundary_and_padding(model_and_params):
     np.testing.assert_allclose(s_ref, s_pl, rtol=1e-5, atol=1e-6)
 
 
+@_interpret_only
 def test_min_length_blocking(model_and_params):
     model, params = model_and_params
     kz, kc = jax.random.split(jax.random.PRNGKey(11))
@@ -91,6 +106,7 @@ def test_min_length_blocking(model_and_params):
     np.testing.assert_allclose(s_ref, s_pl, rtol=1e-5, atol=1e-6)
 
 
+@_interpret_only
 def test_bf16_decode_dtype(model_and_params):
     """The production fused round casts params/latents to bfloat16; both
     paths must agree there too (same matmul/gate dtypes either side)."""
@@ -129,6 +145,7 @@ def test_hw_pallas_beam_cli_flag():
         jax.clear_caches()
 
 
+@_interpret_only
 def test_hw_pallas_beam_flag_through_pipeline(model_and_params):
     """Pipeline-level flip: decode_from_z under --hw.pallas_beam off must
     reproduce the oracle-exact XLA tokens bit-for-bit, and under on must

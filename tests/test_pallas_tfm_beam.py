@@ -24,6 +24,18 @@ from controlled_peptide_generation_tpu.ops import pallas_tfm_beam
 
 pytestmark = pytest.mark.quick
 
+# Kernel-vs-XLA TOKEN equality is an interpret-mode logic invariant: on
+# real TPU the MXU's bf16-pass fp32 matmuls give the two arms different
+# rounding, so near-tie rows flip (~6% at campaign scale, BENCH_DETAILS
+# "divergence" — quality parity, not bit parity). Hardware behavior is
+# guarded by tests/test_pallas_beam_tpu.py (structure, score recompute,
+# compaction equality, batch-shape invariance) + the divergence protocol.
+_interpret_only = pytest.mark.skipif(
+    jax.default_backend() == "tpu",
+    reason="arm token-equality is interpret-mode-only; hardware guards "
+           "live in tests/test_pallas_beam_tpu.py")
+
+
 
 @pytest.fixture(scope="module")
 def model_and_params():
@@ -57,6 +69,7 @@ def _both_paths(model, params, z, c, K, n_best, min_length=1):
     return ref, got
 
 
+@_interpret_only
 @pytest.mark.parametrize("seed,K,n_best", [(0, 5, 3), (1, 4, 1),
                                            (2, 3, 3)])
 def test_matches_xla_beam(model_and_params, seed, K, n_best):
@@ -71,6 +84,7 @@ def test_matches_xla_beam(model_and_params, seed, K, n_best):
     np.testing.assert_allclose(s_ref, s_pl, rtol=1e-5, atol=1e-5)
 
 
+@_interpret_only
 def test_tile_boundary_and_padding(model_and_params):
     """B crossing the batch-tile boundary: padded sentences must not
     perturb real ones, and output slicing must drop them exactly."""
@@ -84,6 +98,7 @@ def test_tile_boundary_and_padding(model_and_params):
     np.testing.assert_allclose(s_ref, s_pl, rtol=1e-5, atol=1e-5)
 
 
+@_interpret_only
 def test_min_length_blocking(model_and_params):
     model, params = model_and_params
     kz, kc = jax.random.split(jax.random.PRNGKey(3))
@@ -95,6 +110,7 @@ def test_min_length_blocking(model_and_params):
     np.testing.assert_allclose(s_ref, s_pl, rtol=1e-5, atol=1e-5)
 
 
+@_interpret_only
 def test_bf16_decode_dtype(model_and_params):
     """The production fused round casts params/latents to bfloat16; both
     paths must agree there too — the kernel mirrors the XLA arm's bf16
@@ -110,6 +126,7 @@ def test_bf16_decode_dtype(model_and_params):
     np.testing.assert_allclose(s_ref, s_pl, rtol=2e-2, atol=2e-2)
 
 
+@_interpret_only
 def test_bf16_flag_with_fp32_weights():
     """--model.G_args.T_args.bf16 true with fp32 params: the XLA arm
     computes in bfloat16 via _compute_dtype, so the kernel must derive
@@ -131,6 +148,7 @@ def test_bf16_flag_with_fp32_weights():
     np.testing.assert_allclose(s_ref, s_pl, rtol=2e-2, atol=2e-2)
 
 
+@_interpret_only
 @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
 def test_ancestry_matches_generic_scan(model_and_params, dtype):
     """The no-reorder ancestry formulation (the default XLA transformer
