@@ -18,7 +18,14 @@ import jax  # noqa: E402
 # CPG_TEST_PLATFORM=default leaves the env's platform in place (the real
 # TPU on this image) — that is how the on-hardware property tests run:
 #   CPG_TEST_PLATFORM=default python -m pytest tests/test_pallas_beam_tpu.py
-# Anything else is passed to jax.config verbatim; the default stays CPU so
+# The Pallas suites (test_pallas.py, test_pallas_gru.py,
+# test_pallas_beam.py, test_pallas_tfm_beam.py) are also hardware-clean:
+# tolerance tests carry MXU-calibrated bounds and kernel-vs-XLA
+# token-equality tests (an interpret-mode logic invariant — near-tie
+# rows flip on the MXU) skip themselves on TPU. Suites comparing device
+# compute against host oracles at fp32-tight tolerances (test_beam.py
+# oracle, torch/sklearn parity) are CPU-by-design. Anything else is
+# passed to jax.config verbatim; the default stays CPU so
 # `pytest tests/` is hermetic and fast.
 _plat = os.environ.get("CPG_TEST_PLATFORM", "cpu")
 if _plat != "default":
