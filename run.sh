@@ -17,5 +17,14 @@ git status || true
 
 loadpath=""  # empty to start fresh; set to resume another phase-1 run
 # set static_eval_long=1 for the state-dump + latent-analysis pass
-/usr/bin/time -v python main.py $override_runname $loadpath $hypers --phase 1
-/usr/bin/time -v python static_eval.py $override_runname $hypers --phase 1 ${static_eval_long:+--long}
+
+# GNU time gives the reference's -v resource report; fall back to the
+# shell builtin where the binary is absent (e.g. slim containers)
+if [ -x /usr/bin/time ]; then
+    timer() { /usr/bin/time -v "$@"; }
+else
+    timer() { time "$@"; }
+fi
+
+timer python main.py $override_runname $loadpath $hypers --phase 1
+timer python static_eval.py $override_runname $hypers --phase 1 ${static_eval_long:+--long}
