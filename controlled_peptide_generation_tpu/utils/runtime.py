@@ -7,6 +7,7 @@ medium programs (measured: the GMM-EM fit compiles in 2.5s on CPU but took
 single biggest UX/perf win for repeated runs.
 """
 
+import atexit
 import logging
 import os
 import sys
@@ -158,8 +159,29 @@ def warmup_first_transfer():
         _WARMUP_THREAD = threading.Thread(
             target=_pay, name="cpg-first-d2h-warmup", daemon=True)
         _WARMUP_THREAD.start()
+        atexit.register(_drain_warmup_at_exit)
     except Exception as e:  # pragma: no cover
         log.info("first-transfer warmup not started: %s", e)
+
+
+def _drain_warmup_at_exit(join_s=5.0):
+    """Short-lived CLIs (api.py self-test) can reach interpreter exit
+    while the warmup D2H is still in flight; CPython then kills the
+    daemon thread abruptly and the tunnel transport's C++ teardown
+    prints 'terminate called ... FATAL: exception not rethrown' (exit
+    code unaffected — observed rc=0). Briefly join to cover
+    nearly-complete transfers, then name the noise so a log tail reads
+    as diagnosis, not a crash. The join is bounded: a wedged tunnel
+    (13-540s+ band) must not hold the process exit hostage."""
+    t = _WARMUP_THREAD
+    if t is None or not t.is_alive():
+        return
+    t.join(join_s)
+    if t.is_alive():
+        print("note: exiting while the background first-D2H warmup is "
+              "still in flight — any 'terminate called' transport "
+              "teardown noise below is harmless (exit code unaffected; "
+              "tools/repro_first_d2h.py)", file=sys.stderr, flush=True)
 
 
 def wait_first_transfer(timeout=None, poll=30.0):

@@ -35,3 +35,27 @@ def test_warmup_explicit_call_is_cpu_noop():
     runtime.warmup_first_transfer()
     assert runtime._WARMUP_THREAD is None
     assert runtime.wait_first_transfer() is None
+
+
+def test_drain_warmup_at_exit(monkeypatch, capsys):
+    """The atexit drain: no-op when idle, brief join + named-noise note
+    when the warmup D2H is still in flight at interpreter exit."""
+    import threading
+    import time
+
+    runtime._drain_warmup_at_exit()          # no thread: no-op
+    assert capsys.readouterr().err == ""
+
+    done = threading.Event()
+    t = threading.Thread(target=done.wait, daemon=True)
+    t.start()
+    monkeypatch.setattr(runtime, "_WARMUP_THREAD", t)
+    try:
+        runtime._drain_warmup_at_exit(join_s=0.05)   # still alive: note
+        assert "first-D2H warmup" in capsys.readouterr().err
+        done.set()
+        t.join(5)
+        runtime._drain_warmup_at_exit()              # finished: silent
+        assert capsys.readouterr().err == ""
+    finally:
+        done.set()
